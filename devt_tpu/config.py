@@ -1,0 +1,207 @@
+"""Typed configuration for devt_tpu.
+
+The reference drives everything from a flat ``config.yaml`` loaded with
+``yaml.SafeLoader`` and wrapped in a ``wandb.config`` mapping
+(reference: src/main.py:27-31), with models swallowing the dict via
+``save_hyperparameters()`` (src/frame_transformer.py:84-86).  A second,
+older confuse-style key set appears in the contrastive files
+(src/models/contrastivemodel.py:15-20).
+
+Here both key sets unify into one frozen dataclass that
+
+  * loads the reference's flat ``config.yaml`` keys verbatim
+    (reference: src/config.yaml:1-45),
+  * also accepts the contrastive-model keys (``input_shape``,
+    ``hidden_layer``, ``projection_size``, ``output_shape``,
+    ``num_samples``, ``aggregation``, ``temperature``),
+  * adds TPU-native execution knobs (precision, grad accumulation, mesh
+    axes) that have no reference equivalent (the reference hard-codes
+    ``gpus=1`` at src/main.py:87-88),
+  * supports mapping-style access (``cfg["batch_size"]``) so call sites that
+    mimic the reference's ``wandb.config`` reads keep working.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Iterator, Mapping, Sequence
+
+import yaml
+
+# Genre label sets used by the reference (they differ per dataset variant):
+# 15-genre MMX temporal labels (src/dataloaders/mmx/MMX_Temporal_dl.py:118-132,
+# also src/callbacks/callbacks.py:139-140).
+MMX_GENRES_15 = (
+    "Action", "Adventure", "Comedy", "Crime", "Documentary", "Drama",
+    "Family", "Fantasy", "History", "Horror", "Music", "Mystery",
+    "Science Fiction", "Thriller", "War",
+)
+# 19-genre MMX frame/light labels (src/callbacks/callbacks.py:31-32).
+MMX_GENRES_19 = (
+    "Action", "Animation", "Adventure", "Comedy", "Crime", "Documentary",
+    "Drama", "Family", "Fantasy", "History", "Horror", "Music", "Romance",
+    "Mystery", "TVMovie", "ScienceFiction", "Thriller", "War", "Western",
+)
+
+MODEL_NAMES = (
+    # SimpleTransformer pyramid variants (src/main.py:37-38)
+    "ptn", "ptn_shared",
+    # LSTM baseline (src/main.py:39-42)
+    "lstm",
+    # FrameTransformer variants (src/main.py:43-44, src/frame_transformer.py:136-180)
+    "frame_transformer", "distil", "sum", "sum_residual", "post_sum",
+    "frame", "pre_modal", "vid",
+    # additional capability-parity models (constructed directly in the
+    # reference, not via main.py dispatch)
+    "vivit", "tpn", "contrastive", "basicmlp",
+)
+
+DATASET_NAMES = ("mit", "mmx", "mmx-frame", "mmx-contrastive", "mit-contrastive", "synthetic")
+
+
+@dataclasses.dataclass
+class Config(Mapping[str, Any]):
+    """Flat config covering the reference's key surface plus TPU knobs."""
+
+    # --- General params (src/config.yaml:1-7) ---
+    batch_size: int = 2
+    learning_rate: float = 0.000005
+    epochs: int = 500
+    seq_len: int = 13
+    frame_len: int = 12
+    test: bool = False
+
+    # --- Optimisation (src/config.yaml:9-16) ---
+    dropout: float = 0.5
+    momentum: float = 0.005
+    weight_decay: float = 0.09
+    scheduling: bool = True
+    warm_up: int = 2
+    n_classes: int = 15
+    opt: str = "adamW"
+
+    # --- Architecture (src/config.yaml:21-26) ---
+    input_dimension: int = 2048
+    nhead: int = 8
+    token_embedding: int = 305
+    nlayers: int = 8
+    nhid: int = 2048
+    projection_size: int = 305
+
+    # --- Selectors (src/config.yaml:27-33) ---
+    data_set: str = "mmx-frame"
+    model: str = "vid"
+    logger: str = "double_transformer"
+    name: str = "devt-tpu-run"
+
+    # --- Experts / tokens / mixing (src/config.yaml:36-42) ---
+    experts: Sequence[str] = (
+        "img-embeddings", "location-embeddings", "video-embeddings",
+    )
+    cls: int = 1
+    mixing_method: str = "double_trans"
+
+    # --- Paths / device (src/config.yaml:44-45) ---
+    device: int = 1
+    save_path: str = "trained_models/"
+
+    # --- Contrastive-model key set (src/models/contrastivemodel.py:15-20,
+    #     src/models/losses/ntxent.py:45) ---
+    input_shape: int = 2048
+    hidden_layer: int = 2048
+    output_shape: int = 128
+    num_samples: int = 50000
+    aggregation: str = "none"
+    temperature: float = 0.5
+
+    # --- Data locations (src/main.py:48-63 hard-codes these) ---
+    train_manifest: str = "data/mmx/mmx_train_temporal.pkl"
+    val_manifest: str = "data/mmx/mmx_val_temporal.pkl"
+    csv_manifest: str = "data/mmx/light/out.csv"
+
+    # --- TPU-native execution knobs (no reference equivalent) ---
+    seed: int = 1130                   # reference seeds torch with 1130 (src/main.py:25)
+    precision: str = "bf16"            # "bf16" | "f32" (reference intent: main.py:85)
+    accum_steps: int = 1               # reference intent: accumulate_grad_batches=8 (main.py:85)
+    data_axis: str = "data"            # mesh axis for data parallelism
+    model_axis: str = "model"          # mesh axis for tensor parallelism
+    dp: int = -1                       # data-parallel size; -1 = all devices / mp
+    mp: int = 1                        # model-parallel (tensor) size
+    attention_impl: str = "auto"       # "auto" | "pallas" | "xla"
+    remat: bool = False                # jax.checkpoint the transformer stacks
+    log_every: int = 50
+    eval_every_epochs: int = 1
+    checkpoint_dir: str = "checkpoints"
+    resume: str = ""                   # checkpoint path to restore
+    max_steps: int = -1                # -1 = unbounded (epochs governs)
+    host_batch_prefetch: int = 2
+
+    # ------------------------------------------------------------------
+    def __post_init__(self) -> None:
+        if self.opt not in ("sgd", "adamW", "adagrad", "adam"):
+            raise ValueError(f"unknown optimiser {self.opt!r}")
+        if self.precision not in ("bf16", "f32"):
+            raise ValueError(f"unknown precision {self.precision!r}")
+        if self.attention_impl not in ("auto", "pallas", "xla"):
+            raise ValueError(f"unknown attention impl {self.attention_impl!r}")
+
+    # Mapping protocol — call sites written against the reference's
+    # ``wandb.config`` dict access keep working (src/main.py:32,37).
+    def __getitem__(self, key: str) -> Any:
+        try:
+            return getattr(self, key)
+        except AttributeError:
+            raise KeyError(key) from None
+
+    def __iter__(self) -> Iterator[str]:
+        return iter(f.name for f in dataclasses.fields(self))
+
+    def __len__(self) -> int:
+        return len(dataclasses.fields(self))
+
+    def replace(self, **updates: Any) -> "Config":
+        return dataclasses.replace(self, **updates)
+
+    def to_dict(self) -> dict[str, Any]:
+        d = dataclasses.asdict(self)
+        d["experts"] = list(d["experts"])
+        return d
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_dict(cls, raw: Mapping[str, Any], strict: bool = False) -> "Config":
+        """Build from a flat dict, ignoring unknown keys unless ``strict``."""
+        known = {f.name for f in dataclasses.fields(cls)}
+        unknown = set(raw) - known
+        if unknown and strict:
+            raise KeyError(f"unknown config keys: {sorted(unknown)}")
+        kwargs = {k: v for k, v in raw.items() if k in known}
+        if "experts" in kwargs and kwargs["experts"] is not None:
+            kwargs["experts"] = tuple(kwargs["experts"])
+        return cls(**kwargs)
+
+    @classmethod
+    def from_yaml(cls, path: str, strict: bool = False) -> "Config":
+        """Load the reference's flat ``config.yaml`` format (src/main.py:27-28)."""
+        with open(path) as f:
+            raw = yaml.safe_load(f) or {}
+        return cls.from_dict(raw, strict=strict)
+
+    def save_yaml(self, path: str) -> None:
+        with open(path, "w") as f:
+            yaml.safe_dump(self.to_dict(), f, sort_keys=False)
+
+    # ------------------------------------------------------------------
+    @property
+    def effective_seq_len(self) -> int:
+        """Sequence length after the optional CLS prepend.
+
+        The reference mutates ``hparams.seq_len += 1`` when ``cls`` is set
+        (src/transformer.py:33-34, src/frame_transformer.py:87-88); here the
+        base value stays immutable and the derived value is explicit.
+        """
+        return self.seq_len + (1 if self.cls else 0)
+
+    @property
+    def num_genres(self) -> int:
+        return self.n_classes

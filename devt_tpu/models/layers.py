@@ -1,0 +1,180 @@
+"""Core building blocks shared across the model family.
+
+All modules are flax.linen with batch-major layouts ``(B, S, D)`` — the
+reference constantly rearranges between seq-major and batch-major because
+torch's TransformerEncoder is seq-major (src/models/transformer.py:74-104);
+here one layout is used throughout and only the weight-port utilities know
+about torch's conventions.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from devt_tpu.ops.attention import scaled_dot_product_attention
+
+# torch uses eps=1e-5 in LayerNorm; flax defaults to 1e-6.  Parity requires
+# the torch value everywhere a reference module has a LayerNorm.
+LN_EPS = 1e-5
+
+
+def sinusoidal_positional_encoding(max_len: int, d_model: int,
+                                   base: float = 1000.0,
+                                   dtype=jnp.float32) -> jnp.ndarray:
+    """Sinusoidal PE table, shape (max_len, d_model).
+
+    NOTE the default ``base=1000.0``: the reference uses ``log(1000.0)``
+    — not the usual 10000.0 — in both of its PositionalEncoding modules
+    (src/models/transformer.py:16-17, src/models/frame_transformer.py:25-26).
+    That quirk is preserved for logit parity.
+    """
+    position = jnp.arange(max_len, dtype=jnp.float32)[:, None]
+    div_term = jnp.exp(jnp.arange(0, d_model, 2, dtype=jnp.float32)
+                       * (-math.log(base) / d_model))
+    angles = position * div_term
+    pe = jnp.zeros((max_len, d_model), dtype=jnp.float32)
+    pe = pe.at[:, 0::2].set(jnp.sin(angles))
+    pe = pe.at[:, 1::2].set(jnp.cos(angles[:, : d_model // 2]))
+    return pe.astype(dtype)
+
+
+class PositionalEncoding(nn.Module):
+    """Add sinusoidal PE along the sequence axis, then dropout.
+
+    Reference: src/models/transformer.py:10-25 (identical twin at
+    src/models/frame_transformer.py:19-34).  Input (B, S, D); the table is
+    a constant, not a parameter.
+    """
+    d_model: int
+    dropout: float = 0.1
+    max_len: int = 4
+    base: float = 1000.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        pe = sinusoidal_positional_encoding(
+            self.max_len, self.d_model, self.base, dtype=x.dtype)
+        x = x + pe[: x.shape[1]][None, :, :]
+        return nn.Dropout(self.dropout)(x, deterministic=deterministic)
+
+
+class FeedForward(nn.Module):
+    """Linear→GELU→Dropout→Linear→Dropout (reference: src/models/vit.py:17-28)."""
+    dim: int
+    hidden_dim: int
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        x = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
+        return nn.Dropout(self.dropout)(x, deterministic=deterministic)
+
+
+class ViTAttention(nn.Module):
+    """Multi-head attention, ViT flavour (reference: src/models/vit.py:30-58).
+
+    Single fused qkv projection without bias; output projection (plus
+    dropout) only when ``not (heads == 1 and dim_head == dim)`` —
+    the reference's ``project_out`` condition (src/models/vit.py:34).
+    The softmax itself runs through the dispatching kernel
+    (flash on TPU, einsum elsewhere).
+    """
+    dim: int
+    heads: int = 8
+    dim_head: int = 64
+    dropout: float = 0.0
+    attention_impl: str = "auto"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        b, n, _ = x.shape
+        inner_dim = self.dim_head * self.heads
+        project_out = not (self.heads == 1 and self.dim_head == self.dim)
+
+        qkv = nn.Dense(inner_dim * 3, use_bias=False, dtype=self.dtype,
+                       name="to_qkv")(x)
+        qkv = qkv.reshape(b, n, 3, self.heads, self.dim_head)
+        q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+
+        out = scaled_dot_product_attention(
+            q, k, v, scale=self.dim_head ** -0.5, impl=self.attention_impl)
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, inner_dim)
+
+        if project_out:
+            out = nn.Dense(self.dim, dtype=self.dtype, name="to_out")(out)
+            out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        return out
+
+
+class ViTTransformer(nn.Module):
+    """Pre-norm residual transformer with trailing LayerNorm.
+
+    Reference: src/models/vit.py:60-75 — ``x = attn(norm(x)) + x;
+    x = ff(norm(x)) + x`` per layer, then a final norm.
+    """
+    dim: int
+    depth: int
+    heads: int
+    dim_head: int
+    mlp_dim: int
+    dropout: float = 0.0
+    attention_impl: str = "auto"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        for i in range(self.depth):
+            h = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype,
+                             name=f"attn_norm_{i}")(x)
+            h = ViTAttention(self.dim, heads=self.heads,
+                             dim_head=self.dim_head, dropout=self.dropout,
+                             attention_impl=self.attention_impl,
+                             dtype=self.dtype, name=f"attn_{i}")(
+                                 h, deterministic=deterministic)
+            x = x + h
+            h = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype,
+                             name=f"ff_norm_{i}")(x)
+            h = FeedForward(self.dim, self.mlp_dim, dropout=self.dropout,
+                            dtype=self.dtype, name=f"ff_{i}")(
+                                h, deterministic=deterministic)
+            x = x + h
+        return nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm")(x)
+
+
+class GeluMlp(nn.Module):
+    """Stack of Linear(+GELU between) layers.
+
+    Covers the reference's MLP heads, e.g. 896→512→128→19 with GELU
+    (src/models/frame_transformer.py:106).
+    """
+    features: Sequence[int]
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for i, f in enumerate(self.features):
+            x = nn.Dense(f, dtype=self.dtype, name=f"fc{i}")(x)
+            if i < len(self.features) - 1:
+                x = nn.gelu(x, approximate=False)
+        return x
+
+
+class NormLinearHead(nn.Module):
+    """LayerNorm + Linear head (reference: src/models/transformer.py:54,
+    src/models/vit.py:104-107)."""
+    num_classes: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm")(x)
+        return nn.Dense(self.num_classes, dtype=self.dtype, name="fc")(x)

@@ -1,0 +1,68 @@
+"""Scaled-dot-product attention with backend dispatch.
+
+One entry point serves every attention site in the model family
+(reference sites: src/models/vit.py:46-58 einsum attention; torch
+``MultiheadAttention`` inside ``TransformerEncoderLayer`` used by
+src/models/transformer.py:39-47 and src/models/frame_transformer.py:41-44).
+
+``impl``:
+  * ``"xla"``    — reference-semantics einsum attention; supports
+                   attention-weight dropout (torch MHA applies dropout to
+                   softmax probabilities).
+  * ``"pallas"`` — fused blockwise flash kernel (ops/flash_attention.py).
+  * ``"auto"``   — pallas on TPU backends when no attention dropout is
+                   active, xla otherwise (and always on CPU, where the
+                   Mosaic kernels would need the interpreter).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from devt_tpu.ops.flash_attention import flash_attention
+
+
+def _default_backend_is_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def xla_attention(q, k, v, *, scale: float,
+                  dropout_rate: float = 0.0, dropout_rng=None):
+    """Materialised softmax attention, numerically the reference semantics.
+
+    q, k, v: (B, H, S, D).  Scores are accumulated in f32 regardless of the
+    input dtype (so bf16 inputs keep a stable softmax).
+    """
+    s = jnp.einsum("bhid,bhjd->bhij", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, p.shape)
+        p = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
+    return jnp.einsum("bhij,bhjd->bhid", p.astype(v.dtype), v)
+
+
+def scaled_dot_product_attention(q, k, v, *, scale: float | None = None,
+                                 impl: str = "auto",
+                                 dropout_rate: float = 0.0,
+                                 dropout_rng=None,
+                                 interpret: bool = False):
+    """Dispatching attention.  q, k, v: (B, H, S, D) → (B, H, Sq, D)."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    use_dropout = dropout_rate > 0.0 and dropout_rng is not None
+    if impl == "auto":
+        impl = "pallas" if (_default_backend_is_tpu() and not use_dropout) \
+            else "xla"
+    if impl == "pallas":
+        if use_dropout:
+            raise NotImplementedError(
+                "attention-weight dropout is served by the xla impl; "
+                "use impl='xla' or 'auto' when training with attn dropout")
+        return flash_attention(q, k, v, scale=scale, interpret=interpret)
+    if impl == "xla":
+        return xla_attention(q, k, v, scale=scale,
+                             dropout_rate=dropout_rate,
+                             dropout_rng=dropout_rng)
+    raise ValueError(f"unknown attention impl {impl!r}")

@@ -1,0 +1,345 @@
+"""Blockwise flash attention for TPU, written in Pallas.
+
+This is the fused kernel that replaces the reference's materialised
+O(n^2) attention (reference: src/models/vit.py:46-58 computes the full
+``dots`` matrix with einsum, and torch ``TransformerEncoderLayer`` does the
+same inside ``MultiheadAttention``, src/models/transformer.py:39-47).
+
+Design notes (TPU-first, see pallas_guide.md):
+
+  * Online-softmax blockwise algorithm: the score matrix is never
+    materialised in HBM.  Grid = ``(batch*heads, num_q_blocks,
+    num_kv_blocks)``; the innermost kv dimension iterates sequentially on
+    TPU, carrying running max / sum / output accumulator in VMEM scratch.
+  * Head dim is zero-padded to a multiple of 128 (MXU lane width) and
+    sequence lengths to a multiple of the block size; the pad is masked
+    with a large negative score so softmax ignores it.  ``-1e30`` rather
+    than ``-inf`` keeps fully-padded rows NaN-free.
+  * Forward saves the per-row logsumexp so the backward pass can
+    recompute probabilities blockwise (standard flash backward):
+    one kernel accumulates dQ over kv blocks, a second accumulates
+    dK/dV over q blocks.  The logsumexp residual carries a broadcast
+    128-lane trailing dim — Mosaic requires the last two block dims
+    to tile to (8, 128), and this layout lets both backward kernels
+    slice a (block_q, 1) column without any in-kernel transpose.
+    ``delta = rowsum(dO * O)`` is recomputed inside the backward kernels
+    (cheap VPU work) instead of being written to HBM.
+  * The kernels are written blockwise so a ring/context-parallel
+    extension over ICI reuses them unchanged (SURVEY.md §5).
+
+The sequence lengths used by the reference models are small (14 scene
+tokens, 197 ViViT patch tokens — src/config.yaml:5, src/models/vit.py:87),
+so a single kv block usually suffices; the blockwise structure is about
+scaling headroom, not necessity.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+_LANES = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
+                m_scr, l_scr, acc_scr,
+                *, scale: float, kv_len: int, block_kv: int):
+    kv_idx = pl.program_id(2)
+    n_kv = pl.num_programs(2)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]  # (block_q, d)
+    k = k_ref[0]  # (block_kv, d)
+    v = v_ref[0]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # (block_q, block_kv)
+
+    # Mask kv positions beyond the true sequence length (the pad we added
+    # to reach the tile size — NOT a data mask; the reference attends over
+    # its own zero-padding and that semantics is preserved).
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kv_idx * block_kv
+    s = jnp.where(col < kv_len, s, NEG_INF)
+
+    m_prev = m_scr[:, :1]                                   # (block_q, 1)
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(s - m_new)                                  # (block_q, block_kv)
+    alpha = jnp.exp(m_prev - m_new)                         # (block_q, 1)
+    l_new = alpha * l_scr[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
+
+    acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[...] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(kv_idx == n_kv - 1)
+    def _finish():
+        o_ref[0] = (acc_scr[...] / l_scr[:, :1]).astype(o_ref.dtype)
+        lse_ref[0] = m_scr[...] + jnp.log(l_scr[...])
+
+
+def _fwd(q, k, v, *, scale, kv_len, block_q, block_kv, interpret):
+    bh, sq, d = q.shape
+    skv = k.shape[1]
+    n_q, n_kv = sq // block_q, skv // block_kv
+
+    grid = (bh, n_q, n_kv)
+    out_shape = (
+        jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
+        # logsumexp with broadcast lanes — see module docstring.
+        jax.ShapeDtypeStruct((bh, sq, _LANES), jnp.float32),
+    )
+    kernel = functools.partial(
+        _fwd_kernel, scale=scale, kv_len=kv_len, block_kv=block_kv)
+
+    o, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_kv, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_kv, d), lambda b, i, j: (b, j, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_q, _LANES), lambda b, i, j: (b, i, 0)),
+        ),
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((block_q, _LANES), jnp.float32),
+            pltpu.VMEM((block_q, _LANES), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v)
+    return o, lse
+
+
+# ---------------------------------------------------------------------------
+# Backward kernels
+# ---------------------------------------------------------------------------
+
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref, dq_ref,
+                   dq_scr, delta_scr,
+                   *, scale: float, kv_len: int, block_kv: int):
+    kv_idx = pl.program_id(2)
+    n_kv = pl.num_programs(2)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        dq_scr[...] = jnp.zeros_like(dq_scr)
+        delta = jnp.sum(do_ref[0].astype(jnp.float32)
+                        * o_ref[0].astype(jnp.float32),
+                        axis=-1, keepdims=True)
+        delta_scr[...] = jnp.broadcast_to(delta, delta_scr.shape)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0][:, :1]        # (block_q, 1)
+    delta = delta_scr[:, :1]       # (block_q, 1)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    ) * scale
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kv_idx * block_kv
+    s = jnp.where(col < kv_len, s, NEG_INF)
+
+    p = jnp.exp(s - lse)                                    # (block_q, block_kv)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    ds = p * (dp - delta) * scale
+    dq_scr[...] += jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(kv_idx == n_kv - 1)
+    def _finish():
+        dq_ref[0] = dq_scr[...].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
+                    dk_ref, dv_ref, dk_scr, dv_scr,
+                    *, scale: float, kv_len: int, block_kv: int):
+    q_idx = pl.program_id(2)
+    n_q = pl.num_programs(2)
+    kv_idx = pl.program_id(1)
+
+    @pl.when(q_idx == 0)
+    def _init():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0][:, :1]        # (block_q, 1)
+    delta = jnp.sum(do.astype(jnp.float32) * o_ref[0].astype(jnp.float32),
+                    axis=-1, keepdims=True)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    ) * scale
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kv_idx * block_kv
+    s = jnp.where(col < kv_len, s, NEG_INF)
+    p = jnp.exp(s - lse)
+
+    # dV += P^T @ dO
+    dv_scr[...] += jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    # dS = P * (dP - delta);  dK += dS^T @ Q
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    ds = p * (dp - delta) * scale
+    dk_scr[...] += jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(q_idx == n_q - 1)
+    def _finish():
+        dk_ref[0] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+def _bwd(q, k, v, o, lse, do, *, scale, kv_len, block_q, block_kv, interpret):
+    bh, sq, d = q.shape
+    skv = k.shape[1]
+    n_q, n_kv = sq // block_q, skv // block_kv
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, scale=scale, kv_len=kv_len,
+                          block_kv=block_kv),
+        grid=(bh, n_q, n_kv),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_kv, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_kv, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_q, _LANES), lambda b, i, j: (b, i, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, _LANES), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v, o, do, lse)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, scale=scale, kv_len=kv_len,
+                          block_kv=block_kv),
+        grid=(bh, n_kv, n_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((1, block_kv, d), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, block_kv, d), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((1, block_q, _LANES), lambda b, j, i: (b, i, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_kv, d), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, block_kv, d), lambda b, j, i: (b, j, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_kv, d), jnp.float32),
+            pltpu.VMEM((block_kv, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v, o, do, lse)
+    return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
+# Public entry point: padding wrapper + custom VJP
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _flash_padded(q, k, v, scale, kv_len, block_q, block_kv, interpret):
+    o, _ = _fwd(q, k, v, scale=scale, kv_len=kv_len, block_q=block_q,
+                block_kv=block_kv, interpret=interpret)
+    return o
+
+
+def _flash_padded_fwd(q, k, v, scale, kv_len, block_q, block_kv, interpret):
+    o, lse = _fwd(q, k, v, scale=scale, kv_len=kv_len, block_q=block_q,
+                  block_kv=block_kv, interpret=interpret)
+    return o, (q, k, v, o, lse)
+
+
+def _flash_padded_bwd(scale, kv_len, block_q, block_kv, interpret, res, do):
+    q, k, v, o, lse = res
+    dq, dk, dv = _bwd(q, k, v, o, lse, do, scale=scale, kv_len=kv_len,
+                      block_q=block_q, block_kv=block_kv, interpret=interpret)
+    return dq, dk, dv
+
+
+_flash_padded.defvjp(_flash_padded_fwd, _flash_padded_bwd)
+
+
+def flash_attention(q, k, v, *, scale: float | None = None,
+                    block_q: int = 128, block_kv: int = 128,
+                    interpret: bool = False):
+    """Fused softmax attention.  ``q, k, v: (B, H, S, D)`` → ``(B, H, Sq, D)``.
+
+    ``scale`` defaults to ``1/sqrt(D)`` with the *unpadded* head dim, matching
+    the reference (src/models/vit.py:37, torch MultiheadAttention).
+    """
+    b, h, sq, d = q.shape
+    skv = k.shape[2]
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+
+    block_q = min(block_q, _round_up(sq, _LANES))
+    block_kv = min(block_kv, _round_up(skv, _LANES))
+    sq_p = _round_up(sq, block_q)
+    skv_p = _round_up(skv, block_kv)
+    d_p = _round_up(d, _LANES)
+
+    def pad(x, s_p):
+        return jnp.pad(x, ((0, 0), (0, 0), (0, s_p - x.shape[2]),
+                           (0, d_p - d)))
+
+    qp = pad(q, sq_p).reshape(b * h, sq_p, d_p)
+    kp = pad(k, skv_p).reshape(b * h, skv_p, d_p)
+    vp = pad(v, skv_p).reshape(b * h, skv_p, d_p)
+    # Kernels mask kv positions >= the true (unpadded) kv length.
+    o = _flash_padded(qp, kp, vp, scale, skv, block_q, block_kv, interpret)
+    o = o.reshape(b, h, sq_p, d_p)[:, :, :sq, :d]
+    return o
