@@ -1,0 +1,115 @@
+"""ViViT — factorized space-time vision transformer.
+
+Capability twin of the reference's self-contained model
+(reference: src/models/vit.py:79-128):
+
+  * linear patch embedding over per-frame patches (vit.py:89-92),
+  * learned positional embedding of shape (1, frames, patches+1, dim)
+    (vit.py:94) added after a per-frame space CLS token is prepended,
+  * a *space* transformer over each frame's patch sequence (vit.py:118-119),
+  * a *temporal* transformer over the per-frame CLS outputs with a
+    temporal CLS token (vit.py:122-125),
+  * 'cls' or 'mean' pooling into a LayerNorm+Linear head (vit.py:104-107,126).
+
+TPU-first notes: the patch embed is a reshape + one big matmul (MXU);
+the space transformer runs with the frame axis folded into the batch
+(static shapes, no Python loops); attention dispatches to the Pallas
+flash kernel on TPU.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from devt_tpu.models.layers import LN_EPS, ViTTransformer
+
+
+class ViViT(nn.Module):
+    image_size: int = 224
+    patch_size: int = 16
+    num_classes: int = 100
+    num_frames: int = 16
+    dim: int = 192
+    depth: int = 4
+    heads: int = 3
+    pool: str = "cls"
+    in_channels: int = 3
+    dim_head: int = 64
+    dropout: float = 0.0
+    emb_dropout: float = 0.0
+    scale_dim: int = 4
+    attention_impl: str = "auto"
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        assert self.pool in ("cls", "mean"), \
+            "pool type must be either cls (cls token) or mean (mean pooling)"
+        assert self.image_size % self.patch_size == 0, \
+            "Image dimensions must be divisible by the patch size."
+        num_patches = (self.image_size // self.patch_size) ** 2
+
+        self.patch_embed = nn.Dense(self.dim, dtype=self.dtype,
+                                    name="patch_embed")
+        # (1, num_frames, num_patches + 1, dim) — vit.py:94
+        self.pos_embedding = self.param(
+            "pos_embedding", nn.initializers.normal(stddev=1.0),
+            (1, self.num_frames, num_patches + 1, self.dim))
+        self.space_token = self.param(
+            "space_token", nn.initializers.normal(stddev=1.0),
+            (1, 1, self.dim))
+        self.temporal_token = self.param(
+            "temporal_token", nn.initializers.normal(stddev=1.0),
+            (1, 1, self.dim))
+        self.space_transformer = ViTTransformer(
+            self.dim, self.depth, self.heads, self.dim_head,
+            self.dim * self.scale_dim, dropout=self.dropout,
+            attention_impl=self.attention_impl, dtype=self.dtype,
+            name="space_transformer")
+        self.temporal_transformer = ViTTransformer(
+            self.dim, self.depth, self.heads, self.dim_head,
+            self.dim * self.scale_dim, dropout=self.dropout,
+            attention_impl=self.attention_impl, dtype=self.dtype,
+            name="temporal_transformer")
+        self.emb_drop = nn.Dropout(self.emb_dropout)
+        self.head_norm = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype,
+                                      name="head_norm")
+        self.head = nn.Dense(self.num_classes, dtype=self.dtype, name="head")
+
+    def patchify(self, x):
+        """(B, T, C, H, W) → (B, T, num_patches, patch_dim).
+
+        Equivalent to the reference einops Rearrange
+        ``b t c (h p1) (w p2) -> b t (h w) (p1 p2 c)`` (vit.py:90): one
+        transpose+reshape, fused by XLA into the following matmul's layout.
+        """
+        b, t, c, hh, ww = x.shape
+        p = self.patch_size
+        gh, gw = hh // p, ww // p
+        x = x.reshape(b, t, c, gh, p, gw, p)
+        x = x.transpose(0, 1, 3, 5, 4, 6, 2)          # b t gh gw p1 p2 c
+        return x.reshape(b, t, gh * gw, p * p * c)
+
+    def __call__(self, x, deterministic: bool = True):
+        """x: (B, T, C, H, W) video clip → (B, num_classes) logits."""
+        x = self.patch_embed(self.patchify(x.astype(self.dtype)))
+        b, t, n, d = x.shape
+
+        cls_space = jnp.broadcast_to(self.space_token.astype(self.dtype),
+                                     (b, t, 1, d))
+        x = jnp.concatenate([cls_space, x], axis=2)     # (b, t, n+1, d)
+        x = x + self.pos_embedding[:, :, : n + 1].astype(self.dtype)
+        x = self.emb_drop(x, deterministic=deterministic)
+
+        # Space attention with frames folded into batch (vit.py:118-119).
+        x = x.reshape(b * t, n + 1, d)
+        x = self.space_transformer(x, deterministic=deterministic)
+        x = x[:, 0].reshape(b, t, d)                    # per-frame CLS
+
+        cls_temporal = jnp.broadcast_to(self.temporal_token.astype(self.dtype),
+                                        (b, 1, d))
+        x = jnp.concatenate([cls_temporal, x], axis=1)  # (b, t+1, d)
+        x = self.temporal_transformer(x, deterministic=deterministic)
+
+        x = jnp.mean(x, axis=1) if self.pool == "mean" else x[:, 0]
+        return self.head(self.head_norm(x))

@@ -115,3 +115,113 @@ def vit_transformer(sd: Mapping[str, Any], depth: int,
         }
     params["norm"] = layernorm(sd, f"{p}norm")
     return params
+
+
+# ---------------------------------------------------------------------------
+# Full-network converters (torchvision state_dict naming)
+# ---------------------------------------------------------------------------
+
+
+def _convbn(sd, conv_key: str, bn_key: str, three_d: bool = False):
+    """(conv, bn) pair → ConvBN/ConvBN3d {params, batch_stats} halves."""
+    conv_fn = conv3d if three_d else conv2d
+    bn_params, bn_stats = batchnorm(sd, bn_key)
+    return ({"conv": conv_fn(sd, conv_key), "bn": bn_params},
+            {"bn": bn_stats})
+
+
+def resnet(sd: Mapping[str, Any], layers: tuple = (2, 2, 2, 2),
+           bottleneck: bool = False, with_fc: bool = True) -> dict:
+    """torchvision ResNet state_dict → devt_tpu ResNet variables
+    (devt_tpu/models/resnet.py naming)."""
+    params: dict = {}
+    stats: dict = {}
+    params["stem"], stats["stem"] = _convbn(sd, "conv1", "bn1")
+    n_convs = 3 if bottleneck else 2
+    for li, blocks in enumerate(layers):
+        for bi in range(blocks):
+            t = f"layer{li + 1}.{bi}"
+            name = f"layer{li + 1}_{bi}"
+            bp: dict = {}
+            bs: dict = {}
+            for ci in range(1, n_convs + 1):
+                bp[f"conv{ci}"], bs[f"conv{ci}"] = _convbn(
+                    sd, f"{t}.conv{ci}", f"{t}.bn{ci}")
+            if f"{t}.downsample.0.weight" in sd:
+                bp["downsample"], bs["downsample"] = _convbn(
+                    sd, f"{t}.downsample.0", f"{t}.downsample.1")
+            params[name] = bp
+            stats[name] = bs
+    if with_fc and "fc.weight" in sd:
+        params["fc"] = linear(sd, "fc")
+    return {"params": params, "batch_stats": stats}
+
+
+def r2plus1d(sd: Mapping[str, Any], layers: tuple = (2, 2, 2, 2),
+             with_fc: bool = True) -> dict:
+    """torchvision ``r2plus1d_18`` state_dict → devt_tpu R2Plus1D variables.
+
+    torchvision naming: stem.0/.1 (spatial conv+bn), stem.3/.4 (temporal),
+    layer{l}.{b}.conv1.0.0 (spatial conv), .conv1.0.1 (mid bn), .conv1.0.3
+    (temporal conv), .conv1.1 (outer bn1), same for conv2, downsample.0/.1.
+    """
+    params: dict = {}
+    stats: dict = {}
+    params["stem_spatial"], stats["stem_spatial"] = _convbn(
+        sd, "stem.0", "stem.1", three_d=True)
+    params["stem_temporal"], stats["stem_temporal"] = _convbn(
+        sd, "stem.3", "stem.4", three_d=True)
+    for li, blocks in enumerate(layers):
+        for bi in range(blocks):
+            t = f"layer{li + 1}.{bi}"
+            name = f"layer{li + 1}_{bi}"
+            bp: dict = {}
+            bs: dict = {}
+            for ci in (1, 2):
+                spatial_p, spatial_s = _convbn(
+                    sd, f"{t}.conv{ci}.0.0", f"{t}.conv{ci}.0.1",
+                    three_d=True)
+                bp[f"conv{ci}"] = {
+                    "spatial": spatial_p,
+                    "temporal": conv3d(sd, f"{t}.conv{ci}.0.3"),
+                }
+                bs[f"conv{ci}"] = {"spatial": spatial_s}
+                bn_p, bn_s = batchnorm(sd, f"{t}.conv{ci}.1")
+                bp[f"bn{ci}"] = bn_p
+                bs[f"bn{ci}"] = bn_s
+            if f"{t}.downsample.0.weight" in sd:
+                bp["downsample"], bs["downsample"] = _convbn(
+                    sd, f"{t}.downsample.0", f"{t}.downsample.1",
+                    three_d=True)
+            params[name] = bp
+            stats[name] = bs
+    if with_fc and "fc.weight" in sd:
+        params["fc"] = linear(sd, "fc")
+    return {"params": params, "batch_stats": stats}
+
+
+def r3d(sd: Mapping[str, Any], layers: tuple = (2, 2, 2, 2),
+        with_fc: bool = True) -> dict:
+    """torchvision ``r3d_18`` state_dict → devt_tpu R3D variables."""
+    params: dict = {}
+    stats: dict = {}
+    params["stem"], stats["stem"] = _convbn(sd, "stem.0", "stem.1",
+                                            three_d=True)
+    for li, blocks in enumerate(layers):
+        for bi in range(blocks):
+            t = f"layer{li + 1}.{bi}"
+            name = f"layer{li + 1}_{bi}"
+            bp: dict = {}
+            bs: dict = {}
+            for ci in (1, 2):
+                bp[f"conv{ci}"], bs[f"conv{ci}"] = _convbn(
+                    sd, f"{t}.conv{ci}.0", f"{t}.conv{ci}.1", three_d=True)
+            if f"{t}.downsample.0.weight" in sd:
+                bp["downsample"], bs["downsample"] = _convbn(
+                    sd, f"{t}.downsample.0", f"{t}.downsample.1",
+                    three_d=True)
+            params[name] = bp
+            stats[name] = bs
+    if with_fc and "fc.weight" in sd:
+        params["fc"] = linear(sd, "fc")
+    return {"params": params, "batch_stats": stats}
