@@ -1,0 +1,114 @@
+"""Entry point — config-driven model/dataset dispatch.
+
+The TPU-native twin of ``python src/main.py`` (src/main.py:24-111): loads
+a flat ``config.yaml``, seeds, dispatches the model by ``config["model"]``
+(src/main.py:37-44) and the datamodule by ``config["data_set"]``
+(src/main.py:46-71) with the matching eval callbacks, builds the trainer
+and runs fit (and test when ``config.test`` is set — the reference's
+shipped ``main.py`` runs test from a checkpoint with ``trainer.fit``
+commented out, src/main.py:89-111; both paths are exposed here).
+
+Usage:
+    python -m devt_tpu.main --config config.yaml [--key value ...]
+
+Any flat config key can be overridden on the command line
+(``--model vivit --data_set synthetic --epochs 2``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from devt_tpu.config import Config
+from devt_tpu.registry import build_model
+from devt_tpu.train.callbacks import MITEval, TransformerEval, DisplayResults
+from devt_tpu.train.harness import Trainer
+from devt_tpu.train.loggers import build_logger
+
+
+def build_datamodule(config: Config):
+    ds = config.data_set
+    if ds == "mit":
+        from devt_tpu.data.mit_temporal import MITDataModule
+        return MITDataModule(config.train_manifest, config.val_manifest,
+                             config)
+    if ds == "mmx":
+        from devt_tpu.data.mmx_temporal import MMXDataModule
+        return MMXDataModule(config.train_manifest, config.val_manifest,
+                             config)
+    if ds == "mmx-frame":
+        from devt_tpu.data.mmx_frame import MMXLightDataModule
+        return MMXLightDataModule(config.csv_manifest, config)
+    if ds in ("mmx-contrastive", "mit-contrastive"):
+        from devt_tpu.data.contrastive import ContrastiveDataModule
+        return ContrastiveDataModule(config.train_manifest,
+                                     config.val_manifest, config)
+    if ds == "synthetic":
+        from devt_tpu.data.synthetic import SyntheticDataModule
+        return SyntheticDataModule(config, train_size=64, val_size=16,
+                                   test_size=16)
+    raise ValueError(
+        "No dataset selected, please update the configuration: "
+        "mit, mmx, mmx-frame, mmx-contrastive, mit-contrastive, synthetic")
+
+
+def build_callbacks(config: Config):
+    # dispatch mirrors src/main.py:46-68
+    if config.data_set == "mit":
+        return [MITEval()]
+    callbacks = [TransformerEval()]
+    if config.test:
+        callbacks.append(DisplayResults())
+    return callbacks
+
+
+def parse_args(argv=None) -> Config:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--config", default=None,
+                        help="path to a flat config.yaml (reference format)")
+    args, overrides = parser.parse_known_args(argv)
+
+    config = Config.from_yaml(args.config) if args.config else Config()
+
+    # --key value overrides for any flat config field
+    it = iter(overrides)
+    updates = {}
+    for tok in it:
+        if not tok.startswith("--"):
+            raise SystemExit(f"unexpected argument {tok!r}")
+        key = tok[2:]
+        val = next(it, None)
+        if val is None:
+            raise SystemExit(f"missing value for --{key}")
+        current = getattr(config, key)   # raises for unknown keys
+        if isinstance(current, bool):
+            updates[key] = val.lower() in ("1", "true", "yes")
+        elif isinstance(current, int):
+            updates[key] = int(val)
+        elif isinstance(current, float):
+            updates[key] = float(val)
+        elif isinstance(current, (tuple, list)):
+            updates[key] = tuple(val.split(","))
+        else:
+            updates[key] = val
+    return config.replace(**updates)
+
+
+def main(argv=None):
+    config = parse_args(argv)
+    model = build_model(config)
+    dm = build_datamodule(config)
+    logger = build_logger(config)
+    trainer = Trainer(config, callbacks=build_callbacks(config),
+                      logger=logger)
+    if config.test:
+        results = trainer.test(model, dm, ckpt_path=config.resume)
+    else:
+        state = trainer.fit(model, dm)
+        results = trainer.test(model, dm, state=state)
+    return results
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

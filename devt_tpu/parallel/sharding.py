@@ -1,0 +1,78 @@
+"""Tensor-parallel partitioning rules for the model family.
+
+The reference's layers are small enough to replicate (largest is
+2048×2048, src/models/transformer.py:40), but the sharding API exposes a
+``model`` mesh axis so heads/FFN *can* shard (SURVEY.md §2.8 "TP" row):
+
+  * fused qkv / in_proj kernels  (d, 3d)  → shard output dim (head-parallel)
+  * attention output projections (d, d)   → shard input dim (row-parallel)
+  * FFN up-projections           (d, f)   → shard output dim
+  * FFN down-projections         (f, d)   → shard input dim
+  * everything else (norms, embeds, convs, heads) → replicated
+
+With these specs GSPMD inserts exactly the classic Megatron pattern: an
+all-reduce after the attention out-projection and after the FFN down
+projection, riding ICI.  Rules match by parameter *path name*, so they
+apply to every transformer in the family (TorchTransformerEncoder and
+ViTTransformer naming).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from devt_tpu.parallel.mesh import MODEL_AXIS
+
+# (path-substring, kernel PartitionSpec) — first match wins.
+_RULES: tuple[tuple[str, P], ...] = (
+    ("in_proj/kernel", P(None, MODEL_AXIS)),
+    ("to_qkv/kernel", P(None, MODEL_AXIS)),
+    ("out_proj/kernel", P(MODEL_AXIS, None)),
+    ("to_out/kernel", P(MODEL_AXIS, None)),
+    ("linear1/kernel", P(None, MODEL_AXIS)),
+    ("linear2/kernel", P(MODEL_AXIS, None)),
+    ("fc1/kernel", P(None, MODEL_AXIS)),   # ViT FeedForward up-proj
+    ("fc2/kernel", P(MODEL_AXIS, None)),   # ViT FeedForward down-proj
+)
+
+
+def _spec_for(path: str, ndim: int) -> P:
+    if ndim < 2:
+        return P()
+    for key, spec in _RULES:
+        if key in path:
+            return spec
+    return P()
+
+
+def param_partition_specs(params) -> Any:
+    """Pytree of PartitionSpecs mirroring ``params``."""
+    def to_spec(path, leaf):
+        name = "/".join(str(getattr(k, "key", k)) for k in path)
+        return _spec_for(name, leaf.ndim)
+    return jax.tree_util.tree_map_with_path(to_spec, params)
+
+
+def shard_variables(variables, mesh: Mesh):
+    """Place a variables pytree on the mesh: params by the TP rules
+    (replicated over ``data``), everything else fully replicated."""
+    def place_params(spec_tree, tree):
+        return jax.tree_util.tree_map(
+            lambda leaf, spec: jax.device_put(
+                leaf, NamedSharding(mesh, spec)),
+            tree, spec_tree)
+
+    out = dict(variables)
+    if "params" in out:
+        specs = param_partition_specs(out["params"])
+        out["params"] = place_params(specs, out["params"])
+    for coll in out:
+        if coll == "params":
+            continue
+        out[coll] = jax.tree_util.tree_map(
+            lambda leaf: jax.device_put(leaf, NamedSharding(mesh, P())),
+            out[coll])
+    return out

@@ -1,0 +1,97 @@
+"""Jitted train/eval step factories with grad accumulation and DP/TP.
+
+The reference's runtime is ``pl.Trainer`` on one GPU (src/main.py:87-88)
+with grad accumulation and fp16 present only as commented intent
+(src/main.py:85).  Here the step is a single compiled XLA program:
+
+  * the whole fwd+bwd+update graph is one jit (donated state — in-place
+    buffer reuse in HBM);
+  * grad accumulation is a ``lax.scan`` over microbatches
+    (``config.accum_steps``), FLOP-equivalent to the reference's
+    ``accumulate_grad_batches=8``;
+  * with a Mesh active and the batch sharded over ``data``, GSPMD turns
+    the global-mean loss gradient into a psum over ICI — no NCCL analogue
+    needed (SURVEY.md §2.8);
+  * loss is computed in f32 while activations follow the model dtype
+    (bf16 by default on TPU).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from devt_tpu.config import Config
+from devt_tpu.train.state import TrainState
+from devt_tpu.train.steps import forward_and_loss
+
+
+def _split_microbatches(batch, accum: int):
+    def split(x):
+        b = x.shape[0]
+        assert b % accum == 0, f"batch {b} not divisible by accum {accum}"
+        return x.reshape((accum, b // accum) + x.shape[1:])
+    return jax.tree_util.tree_map(split, batch)
+
+
+def make_train_step(model, config: Config) -> Callable:
+    """Returns jitted ``train_step(state, batch, rng) -> (state, metrics)``."""
+    accum = max(config.accum_steps, 1)
+
+    def loss_fn(params, model_state, batch, rng):
+        variables = {"params": params, **model_state}
+        loss, aux, new_model_state = forward_and_loss(
+            model, config, variables, batch, rng, train=True)
+        return loss, (aux, new_model_state)
+
+    def train_step(state: TrainState, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+        if accum == 1:
+            (loss, (aux, new_ms)), grads = grad_fn(
+                state.params, state.model_state, batch, rng)
+        else:
+            micro = _split_microbatches(batch, accum)
+
+            def body(carry, mb_rng):
+                grads_acc, loss_acc, ms = carry
+                mb, r = mb_rng
+                (l, (_, new_ms)), g = grad_fn(state.params, ms, mb, r)
+                grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, g)
+                return (grads_acc, loss_acc + l, new_ms), None
+
+            zero_grads = jax.tree_util.tree_map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
+            rngs = jax.random.split(rng, accum)
+            (grads, loss, new_ms), _ = jax.lax.scan(
+                body, (zero_grads, jnp.float32(0.0), state.model_state),
+                (micro, rngs))
+            grads = jax.tree_util.tree_map(lambda g: g / accum, grads)
+            loss = loss / accum
+            aux = {}
+
+        new_state = state.apply_gradients(grads, new_ms)
+        metrics = {"loss": loss}
+        for k in ("base_loss", "distil_loss", "cossim"):
+            if isinstance(aux, dict) and k in aux:
+                metrics[k] = aux[k]
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_eval_step(model, config: Config) -> Callable:
+    """Returns jitted ``eval_step(state, batch) -> (loss, aux)`` — the
+    validation/test step feeding the epoch-end evaluators."""
+
+    def eval_step(state: TrainState, batch):
+        variables = {"params": state.params, **state.model_state}
+        loss, aux, _ = forward_and_loss(
+            model, config, variables, batch, rng=None, train=False)
+        return loss, aux
+
+    return jax.jit(eval_step)

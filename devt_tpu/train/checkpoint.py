@@ -1,0 +1,62 @@
+"""Orbax checkpointing: params + optimizer state + step + config snapshot.
+
+The reference leans on Lightning's implicit checkpointing
+(``load_from_checkpoint`` with a hard-coded wandb run path,
+src/main.py:89,111; ``ModelCheckpoint`` commented at src/main.py:57-58).
+Here save/restore is explicit and complete: the full TrainState (params,
+mutable model state, optimizer state, step) plus the config that produced
+it, so restore-for-test (the reference's actual ``main.py`` behavior) and
+resume-training both work.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import orbax.checkpoint as ocp
+
+from devt_tpu.config import Config
+from devt_tpu.train.state import TrainState
+
+
+def save(ckpt_dir: str, state: TrainState, config: Config,
+         step: int | None = None) -> str:
+    ckpt_dir = os.path.abspath(ckpt_dir)
+    step = int(state.step) if step is None else step
+    path = os.path.join(ckpt_dir, f"step_{step}")
+    ckptr = ocp.StandardCheckpointer()
+    payload = {"step": state.step, "params": state.params,
+               "model_state": state.model_state,
+               "opt_state": state.opt_state}
+    ckptr.save(path, payload, force=True)
+    ckptr.wait_until_finished()
+    config.save_yaml(os.path.join(ckpt_dir, "config.yaml"))
+    return path
+
+
+def restore(path: str, state: TrainState) -> TrainState:
+    """Restore into an existing abstract/concrete state (shapes must match)."""
+    ckptr = ocp.StandardCheckpointer()
+    template = {"step": state.step, "params": state.params,
+                "model_state": state.model_state,
+                "opt_state": state.opt_state}
+    payload = ckptr.restore(path, template)
+    return state.replace(step=payload["step"], params=payload["params"],
+                         model_state=payload["model_state"],
+                         opt_state=payload["opt_state"])
+
+
+def latest_checkpoint(ckpt_dir: str) -> str | None:
+    if not os.path.isdir(ckpt_dir):
+        return None
+    steps = []
+    for name in os.listdir(ckpt_dir):
+        if name.startswith("step_"):
+            try:
+                steps.append((int(name.split("_", 1)[1]), name))
+            except ValueError:
+                continue
+    if not steps:
+        return None
+    return os.path.join(ckpt_dir, max(steps)[1])

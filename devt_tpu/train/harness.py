@@ -1,0 +1,180 @@
+"""Training/eval harness — the ``pl.Trainer`` of this framework.
+
+Replaces the reference's runtime (``pl.Trainer(gpus=1, logger, callbacks,
+max_epochs)``, src/main.py:87-88) with an explicit loop around a single
+jitted train step:
+
+  * host input pipeline yields fixed-shape numpy batches (devt_tpu/data);
+  * batches are device_put with the data-parallel sharding while the
+    previous step computes (simple software pipelining);
+  * validation at epoch cadence fills RunningBuffers and fires the
+    epoch-end callbacks (threshold-swept F1 / mAP / report — the
+    reference's callback stack);
+  * Orbax checkpoint each ``eval_every_epochs`` epochs and at the end;
+  * per-step JSONL/wandb logging.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Iterable, Sequence
+
+import jax
+import numpy as np
+
+from devt_tpu.config import Config
+from devt_tpu.parallel.mesh import make_mesh, shard_batch
+from devt_tpu.parallel.sharding import shard_variables
+from devt_tpu.parallel.train_step import make_eval_step, make_train_step
+from devt_tpu.train import checkpoint as ckpt_lib
+from devt_tpu.train.callbacks import Callback
+from devt_tpu.train.loggers import JsonlLogger
+from devt_tpu.train.metrics import RunningBuffers
+from devt_tpu.train.optimizers import build_optimizer
+from devt_tpu.train.state import TrainState
+
+
+class Trainer:
+    def __init__(self, config: Config, callbacks: Sequence[Callback] = (),
+                 logger=None, mesh=None, use_mesh: bool = False):
+        self.config = config
+        self.callbacks = list(callbacks)
+        self.logger = logger or JsonlLogger(name=config.name)
+        self.mesh = mesh or (make_mesh(config.dp, config.mp)
+                             if use_mesh else None)
+        self.buffers = RunningBuffers()
+        self._rng = jax.random.PRNGKey(config.seed)
+
+    # ------------------------------------------------------------------
+    def _init_state(self, model, example, steps_per_epoch: int) -> TrainState:
+        rngs = {"params": jax.random.PRNGKey(self.config.seed),
+                "dropout": jax.random.PRNGKey(self.config.seed + 1)}
+        kwargs = self._apply_kwargs(example)
+        variables = model.init(rngs, **kwargs)
+        variables = dict(variables)
+        params = variables.pop("params")
+        tx = build_optimizer(self.config, steps_per_epoch)
+        state = TrainState.create(params, tx, model_state=variables)
+        if self.mesh is not None:
+            placed = shard_variables({"params": state.params,
+                                      **state.model_state}, self.mesh)
+            params = placed.pop("params")
+            state = state.replace(params=params, model_state=placed)
+        if self.config.resume:
+            state = ckpt_lib.restore(self.config.resume, state)
+        return state
+
+    def _apply_kwargs(self, batch) -> dict[str, Any]:
+        """Map batch keys to the model's __call__ signature."""
+        name = self.config.model
+        from devt_tpu.models.frame_transformer import VARIANTS as FT
+        if name in FT:
+            return {"img": batch.get("img"), "vid": batch.get("vid")}
+        if name == "vivit":
+            return {"x": batch["vid"]}
+        if name == "tpn":
+            return {"x": batch["img"]}
+        if name == "contrastive":
+            return {"x": batch["x_i"]}
+        if name in ("ptn", "ptn_shared"):
+            return {"experts": batch["experts"]}
+        return {"x": batch["experts"]}
+
+    def _place(self, batch):
+        if self.mesh is not None:
+            return shard_batch(batch, self.mesh)
+        return jax.tree_util.tree_map(jax.numpy.asarray, batch)
+
+    # ------------------------------------------------------------------
+    def fit(self, model, datamodule) -> TrainState:
+        cfg = self.config
+        datamodule.setup()
+        steps_per_epoch = max(getattr(datamodule, "train_steps", 1), 1)
+        example = next(iter(datamodule.train_batches()))
+        state = self._init_state(model, example, steps_per_epoch)
+
+        train_step = make_train_step(model, cfg)
+        eval_step = make_eval_step(model, cfg)
+        needs_train_aux = any(getattr(cb, "on_train_batch_end", None)
+                              and type(cb).on_train_batch_end
+                              is not Callback.on_train_batch_end
+                              for cb in self.callbacks)
+
+        global_step = int(state.step)
+        t0 = time.perf_counter()
+        for epoch in range(cfg.epochs):
+            for batch in datamodule.train_batches():
+                placed = self._place(batch)
+                state, metrics = train_step(state, placed, self._rng)
+                global_step += 1
+                if needs_train_aux:
+                    _, aux = eval_step(state, placed)
+                    for cb in self.callbacks:
+                        cb.on_train_batch_end(aux, self.logger, global_step)
+                if global_step % cfg.log_every == 0:
+                    dt = time.perf_counter() - t0
+                    rate = cfg.log_every / max(dt, 1e-9)
+                    self.logger.log({"train/loss": float(metrics["loss"]),
+                                     "epoch": epoch,
+                                     "steps_per_sec": rate}, global_step)
+                    t0 = time.perf_counter()
+                if 0 < cfg.max_steps <= global_step:
+                    break
+
+            if (epoch + 1) % cfg.eval_every_epochs == 0:
+                self.validate(model, datamodule, state, eval_step,
+                              global_step)
+                ckpt_lib.save(cfg.checkpoint_dir, state, cfg)
+            if 0 < cfg.max_steps <= global_step:
+                break
+
+        ckpt_lib.save(cfg.checkpoint_dir, state, cfg)
+        return state
+
+    # ------------------------------------------------------------------
+    def validate(self, model, datamodule, state, eval_step=None,
+                 step: int = 0) -> dict:
+        eval_step = eval_step or make_eval_step(model, self.config)
+        losses = []
+        ssl_cbs = [cb for cb in self.callbacks
+                   if hasattr(cb, "eval_batch")]
+        for batch in datamodule.val_batches():
+            loss, aux = eval_step(state, self._place(batch))
+            losses.append(float(loss))
+            if ssl_cbs:
+                for cb in ssl_cbs:
+                    cb.eval_batch(aux, self.buffers)
+            else:
+                self.buffers.append(aux)
+        results = {"val/loss": float(np.mean(losses)) if losses else 0.0}
+        self.logger.log(results, step)
+        for cb in self.callbacks:
+            out = cb.on_validation_epoch_end(self.buffers, self.logger, step)
+            if isinstance(out, dict):
+                results.update(out)
+        return results
+
+    # ------------------------------------------------------------------
+    def test(self, model, datamodule, state=None, ckpt_path: str = "") -> dict:
+        cfg = self.config
+        datamodule.setup()
+        if state is None:
+            example = next(iter(datamodule.test_batches()))
+            state = self._init_state(model, example, 1)
+            path = ckpt_path or ckpt_lib.latest_checkpoint(cfg.checkpoint_dir)
+            if path:
+                state = ckpt_lib.restore(path, state)
+        eval_step = make_eval_step(model, cfg)
+        losses = []
+        for batch in datamodule.test_batches():
+            loss, aux = eval_step(state, self._place(batch))
+            losses.append(float(loss))
+            self.buffers.append(aux)
+        results = {"test/loss": float(np.mean(losses)) if losses else 0.0}
+        for cb in self.callbacks:
+            out = cb.on_test_epoch_end(self.buffers, self.logger,
+                                       int(state.step))
+            if isinstance(out, dict):
+                results.update(out)
+        self.logger.log({"test/loss": results["test/loss"]}, int(state.step))
+        return results

@@ -1,0 +1,118 @@
+"""Per-model forward + loss — the step logic of the Lightning modules.
+
+The reference spreads ``training_step``/``validation_step`` across each
+LightningModule (src/models/transformer.py:135-160,
+frame_transformer.py:246-345, contrastivemodel.py:143-199, LSTM.py:49-79,
+basicmlp.py:63-106).  Here one pure function dispatches on the model name
+and returns ``(loss, aux, mutated_model_state)`` — jitted by the train-step
+factory in devt_tpu/parallel/train_step.py.
+
+``aux`` always carries ``probs`` (post-sigmoid/softmax scores) and
+``label`` so epoch-end evaluators can accumulate the reference's
+``running_logits``/``running_labels`` buffers
+(src/models/transformer.py:154-158).
+
+A note on NT-Xent world-size awareness: the contrastive loss is written
+over the *global* batch; under pjit with the batch sharded over the data
+axis, GSPMD inserts the cross-replica all-gather for the similarity matrix
+automatically — the DDP semantics the reference's ``NT_Xent(world_size)``
+mask prepares for (src/models/losses/ntxent.py:6-25) with zero extra code.
+An explicit ``shard_map`` variant lives in devt_tpu.models.losses.nt_xent.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from devt_tpu.config import Config
+from devt_tpu.models import losses
+from devt_tpu.models.contrastive import l2_normalize
+from devt_tpu.models.frame_transformer import VARIANTS as FT_VARIANTS
+
+
+def forward_and_loss(model, config: Config, variables, batch, rng,
+                     train: bool):
+    """Returns (loss, aux, new_model_state)."""
+    name = config.model
+    rngs = {"dropout": rng} if train else None
+    has_bn = any(k != "params" for k in variables)
+    mutable = [k for k in variables if k != "params"] if (train and has_bn) \
+        else False
+
+    def apply(*args, **kwargs):
+        out = model.apply(variables, *args, rngs=rngs, mutable=mutable,
+                          **kwargs)
+        if mutable:
+            y, mut = out
+            return y, dict(mut)
+        return out, {k: v for k, v in variables.items() if k != "params"}
+
+    label = batch["label"]
+
+    if name in ("ptn", "ptn_shared"):
+        logits, mut = apply(batch["experts"], deterministic=not train)
+        loss = losses.bce_with_logits(logits, label)
+        return loss, {"probs": jax.nn.sigmoid(logits), "label": label}, mut
+
+    if name == "lstm":
+        logits, mut = apply(batch["experts"], train=train)
+        probs = jax.nn.sigmoid(logits)
+        # reference applies sigmoid then BCELoss (src/models/LSTM.py:55-57)
+        loss = losses.bce(probs, label)
+        return loss, {"probs": probs, "label": label}, mut
+
+    if name in FT_VARIANTS:
+        out, mut = apply(img=batch.get("img"), vid=batch.get("vid"),
+                         train=train)
+        loss = losses.bce_with_logits(out["logits"], label)
+        aux = {"probs": jax.nn.sigmoid(out["logits"]), "label": label,
+               "embedding": out.get("embedding")}
+        if name == "distil":
+            dloss = losses.distillation_loss(out["distil_logits"],
+                                             out["teacher_logits"])
+            aux["base_loss"] = loss
+            aux["distil_loss"] = dloss
+            # cosine similarity of student/teacher logits, logged by the
+            # reference (frame_transformer.py:257-258)
+            s = l2_normalize(out["logits"])
+            t = l2_normalize(out["teacher_logits"])
+            aux["cossim"] = jnp.mean(jnp.sum(s * t, axis=-1))
+            loss = loss + dloss
+        return loss, aux, mut
+
+    if name == "vivit":
+        logits, mut = apply(batch["vid"], deterministic=not train)
+        if label.ndim == 1:    # single-label (MIT-style)
+            loss = losses.cross_entropy(logits, label)
+            probs = jax.nn.softmax(logits, axis=-1)
+        else:                  # multi-hot genres (MMX-style)
+            loss = losses.bce_with_logits(logits, label)
+            probs = jax.nn.sigmoid(logits)
+        return loss, {"probs": probs, "label": label}, mut
+
+    if name == "tpn":
+        probs, mut = apply(batch["img"], train=train)
+        # TPN emits sigmoid-averaged probabilities (TPN.py:98,112)
+        loss = losses.bce(probs, label)
+        return loss, {"probs": probs, "label": label}, mut
+
+    if name == "contrastive":
+        (emb_i, proj_i), mut = apply(batch["x_i"], train=train)
+        (emb_j, proj_j), _ = apply(batch["x_j"], train=train)
+        z_i = l2_normalize(proj_i)
+        z_j = l2_normalize(proj_j)
+        loss = losses.contrastive_loss(z_i, z_j,
+                                       temperature=config.temperature)
+        return loss, {"embedding": emb_i, "label": label,
+                      "probs": jnp.zeros((label.shape[0], 1))}, mut
+
+    if name == "basicmlp":
+        logits, mut = apply(batch["experts"], train=train)
+        loss = losses.cross_entropy(logits, label)
+        return loss, {"probs": jax.nn.softmax(logits, axis=-1),
+                      "label": label}, mut
+
+    raise ValueError(f"no step logic for model {name!r}")
