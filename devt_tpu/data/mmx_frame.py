@@ -1,0 +1,227 @@
+"""MMX frame pipelines: raw images + clips per scene.
+
+Two loaders share the packing logic:
+
+  * :class:`MMXFrameDataModule` — streamed-pickle manifest of per-scene
+    frame paths (src/dataloaders/mmx/MMX_Frame_dl.py:11-164): per scene a
+    random 12-frame temporal slice at train / the first 12 at val
+    (:144-150), one random frame per scene for the image stream (:154),
+    zero-filled fixed tensors when scenes run out (:125-128).
+  * :class:`MMXLightDataModule` — CSV corpus (``out.csv`` with ``img_root``
+    and ``g1..g6`` genre columns, src/dataloaders/mmx/MMX_Light_dl.py:
+    123-286): scenes/frames discovered by glob, filled by cycling frames
+    and scenes modulo their counts (:254-286 — including the quirk that
+    the reference cycles *scene* index ``i`` through both the scene list
+    and the output slot, so short trailers repeat scenes).  19-genre
+    multi-hot labels with Drama fallback at index 6 (:235-245).
+
+Layouts are channels-last: ``img (S, 224, 224, 3)``,
+``vid (S, 12, 112, 112, 3)`` float32.
+
+This is the pipeline the DALI GPU-decode path was meant to feed
+(MMX_Light_dl.py:26-120, commented out of ``setup``); here decode runs on
+the host — PIL by default, the native C++ module (devt_tpu/native) when
+built — sharded per host and overlapped with device steps via
+devt_tpu/data/pipeline.py.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import random
+
+import numpy as np
+from PIL import Image
+
+from devt_tpu.config import MMX_GENRES_19, Config
+from devt_tpu.data import manifests, transforms
+from devt_tpu.data.pipeline import Loader
+
+
+def collect_labels_19(labels) -> np.ndarray:
+    """19-genre multi-hot, Drama fallback index 6 (MMX_Light_dl.py:235-245)."""
+    out = np.zeros(19, np.float32)
+    for i, genre in enumerate(MMX_GENRES_19):
+        if genre in labels:
+            out[i] = 1.0
+    if out.sum() == 0:
+        out[6] = 1.0
+    return out
+
+
+def _pil_load(path: str) -> Image.Image:
+    img = Image.open(path)
+    return img.convert("RGB")
+
+
+class _FrameClipPacker:
+    """Shared fixed-shape packing for both frame loaders."""
+
+    def __init__(self, config: Config, state: str):
+        self.config = config
+        self.state = state
+        self.seq_len = config.seq_len
+        self.frame_len = config.frame_len
+        variants_with_vid = ("sum", "distil", "vid", "pre_modal",
+                             "sum_residual", "post_sum")
+        self.need_vid = config.model in variants_with_vid
+        self.need_img = config.model != "vid"
+
+    def empty(self):
+        img = np.zeros((self.seq_len, 224, 224, 3), np.float32)
+        vid = np.zeros((self.seq_len, self.frame_len, 112, 112, 3),
+                       np.float32)
+        return img, vid
+
+    def pack_scene(self, img, vid, slot: int, frame_paths: list[str],
+                   rng: random.Random, cycle: bool):
+        train = self.state == "train"
+        n = len(frame_paths)
+        if n == 0:
+            return
+        if self.need_vid:
+            if cycle:
+                # MMX_Light cycles k through the frame list (:268-276)
+                idxs = [k % n for k in range(self.frame_len)]
+            elif train and n > self.frame_len:
+                start = rng.randint(0, n - self.frame_len - 1) \
+                    if n > self.frame_len + 1 else 0
+                idxs = list(range(start, start + self.frame_len))
+            else:
+                idxs = [min(k, n - 1) for k in range(self.frame_len)]
+            for k, fi in enumerate(idxs):
+                vid[slot, k] = transforms.clip_frame_transform(
+                    _pil_load(frame_paths[fi]), rng, train=train,
+                    erase=not cycle)
+        if self.need_img:
+            pick = frame_paths[rng.randint(0, n - 1)] if train \
+                else frame_paths[0]
+            if train:
+                img[slot] = transforms.train_image_transform(
+                    _pil_load(pick), rng)
+            else:
+                img[slot] = transforms.val_image_transform(_pil_load(pick))
+
+
+class MMXFrameDataset:
+    """Pickle-manifest variant (MMX_Frame_dl.py:53-164)."""
+
+    def __init__(self, df, config: Config, state: str = "train"):
+        self.df = df
+        self.config = config
+        self.state = state
+        self.packer = _FrameClipPacker(config, state)
+
+    def __len__(self) -> int:
+        return len(self.df)
+
+    def __getitem__(self, idx: int):
+        rng = random.Random(hash((self.config.seed, self.state, idx,
+                                  random.random()
+                                  if self.state == "train" else 0)))
+        label = self.df.at[idx, "label"]
+        scenes = self.df.at[idx, "scenes"]
+        img, vid = self.packer.empty()
+        slot = 0
+        for scene in scenes.values():
+            if slot >= self.config.seq_len:
+                break
+            clip = None
+            for key in (0, "000", "0"):
+                try:
+                    clip = scene[key]
+                    break
+                except (KeyError, TypeError, IndexError):
+                    continue
+            if not clip:
+                continue
+            self.packer.pack_scene(img, vid, slot, list(clip), rng,
+                                   cycle=False)
+            slot += 1
+        return {"label": np.asarray(collect_labels_19(label), np.float32),
+                "img": img, "vid": vid}
+
+
+class MMXLightDataset:
+    """CSV/glob variant (MMX_Light_dl.py:174-286)."""
+
+    def __init__(self, df, config: Config, state: str = "train"):
+        self.df = df
+        self.config = config
+        self.state = state
+        self.packer = _FrameClipPacker(config, state)
+
+    def __len__(self) -> int:
+        return len(self.df)
+
+    def __getitem__(self, idx: int):
+        rng = random.Random(hash((self.config.seed, self.state, idx,
+                                  random.random()
+                                  if self.state == "train" else 0)))
+        row = self.df.iloc[idx]
+        labels = [row[f"g{i}"] for i in range(1, 6) if f"g{i}" in row]
+        target = collect_labels_19([l for l in labels if isinstance(l, str)])
+        scenes = sorted(glob.glob(os.path.join(str(row["img_root"]), "*")))
+        img, vid = self.packer.empty()
+        if scenes:
+            frame_lists = [sorted(glob.glob(os.path.join(s, "*.png")))
+                           or sorted(glob.glob(os.path.join(s, "*")))
+                           for s in scenes]
+            for slot in range(self.config.seq_len):
+                frames = frame_lists[slot % len(scenes)]
+                self.packer.pack_scene(img, vid, slot, frames, rng,
+                                       cycle=True)
+        return {"label": target, "img": img, "vid": vid}
+
+
+class MMXFrameDataModule:
+    def __init__(self, train_manifest: str, val_manifest: str,
+                 config: Config):
+        self.train_manifest = train_manifest
+        self.val_manifest = val_manifest
+        self.config = config
+
+    def setup(self):
+        self.train_df = manifests.load_manifest(self.train_manifest)
+        self.val_df = manifests.load_manifest(self.val_manifest)
+        self.train_steps = len(self.train_df) // self.config.batch_size
+        return self
+
+    def train_batches(self):
+        return Loader(MMXFrameDataset(self.train_df, self.config, "train"),
+                      self.config.batch_size, shuffle=True,
+                      seed=self.config.seed)
+
+    def val_batches(self):
+        return Loader(MMXFrameDataset(self.val_df, self.config, "val"),
+                      self.config.batch_size)
+
+    def test_batches(self):
+        return Loader(MMXFrameDataset(self.val_df, self.config, "test"),
+                      self.config.batch_size)
+
+
+class MMXLightDataModule:
+    def __init__(self, csv_path: str, config: Config):
+        self.csv_path = csv_path
+        self.config = config
+
+    def setup(self):
+        self.train_df, self.val_df = manifests.load_csv_manifest(
+            self.csv_path, shuffle_seed=self.config.seed)
+        self.train_steps = len(self.train_df) // self.config.batch_size
+        return self
+
+    def train_batches(self):
+        return Loader(MMXLightDataset(self.train_df, self.config, "train"),
+                      self.config.batch_size, shuffle=True,
+                      seed=self.config.seed)
+
+    def val_batches(self):
+        return Loader(MMXLightDataset(self.val_df, self.config, "val"),
+                      self.config.batch_size)
+
+    def test_batches(self):
+        return Loader(MMXLightDataset(self.val_df, self.config, "val"),
+                      self.config.batch_size)

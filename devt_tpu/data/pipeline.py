@@ -1,0 +1,152 @@
+"""Batching, shuffling, per-host sharding, worker parallelism, prefetch.
+
+The execution layer under every datamodule — the role torch ``DataLoader``
+plays in the reference (workers + collate, MMX_Temporal_dl.py:95-102),
+rebuilt for TPU training:
+
+  * fixed-shape numpy batches (drop_last always — the reference also
+    drops, and static shapes are mandatory for jit);
+  * **per-host sharding built in**: each JAX process reads only its
+    ``process_index``-th slice of every epoch's index permutation — the
+    DALI ``shard_id=global_rank`` idea (MMX_Light_dl.py:143-144) done
+    properly;
+  * thread-pool item assembly (PIL decode releases the GIL; the C++
+    decode module in devt_tpu/native slots under this same interface);
+  * a small prefetch queue so host assembly overlaps device steps.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Callable, Iterator, Protocol, Sequence
+
+import numpy as np
+
+
+class MapDataset(Protocol):
+    def __len__(self) -> int: ...
+    def __getitem__(self, idx: int) -> dict[str, np.ndarray]: ...
+
+
+def _collate(items: Sequence[dict]) -> dict[str, np.ndarray]:
+    out = {}
+    for key in items[0]:
+        vals = [it[key] for it in items]
+        if isinstance(vals[0], np.ndarray) or np.isscalar(vals[0]):
+            out[key] = np.stack(vals)
+        else:
+            out[key] = vals          # e.g. paths — kept as a list
+    return out
+
+
+class Loader:
+    """Epoch iterator over a map-style dataset."""
+
+    def __init__(self, dataset: MapDataset, batch_size: int,
+                 shuffle: bool = False, seed: int = 0,
+                 sampler: Callable[[np.random.Generator], np.ndarray] | None = None,
+                 num_workers: int = 4, prefetch: int = 2,
+                 process_index: int | None = None,
+                 process_count: int | None = None):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.sampler = sampler
+        self.num_workers = num_workers
+        self.prefetch = prefetch
+        if process_index is None:
+            import jax
+
+            process_index = jax.process_index()
+            process_count = jax.process_count()
+        self.process_index = process_index
+        self.process_count = process_count or 1
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        per_host = len(self.dataset) // self.process_count
+        return per_host // self.batch_size
+
+    def _epoch_indices(self) -> np.ndarray:
+        rng = np.random.default_rng(self.seed + self._epoch)
+        if self.sampler is not None:
+            idx = self.sampler(rng)
+        elif self.shuffle:
+            idx = rng.permutation(len(self.dataset))
+        else:
+            idx = np.arange(len(self.dataset))
+        # per-host shard: contiguous split of the (shared-seed) permutation
+        per_host = len(idx) // self.process_count
+        start = self.process_index * per_host
+        return idx[start:start + per_host]
+
+    def __iter__(self) -> Iterator[dict[str, np.ndarray]]:
+        indices = self._epoch_indices()
+        self._epoch += 1
+        n_batches = len(indices) // self.batch_size
+        if n_batches == 0:
+            return
+
+        def assemble(b: int) -> dict[str, np.ndarray]:
+            batch_idx = indices[b * self.batch_size:(b + 1) * self.batch_size]
+            items = [self.dataset[int(i)] for i in batch_idx]
+            return _collate(items)
+
+        if self.num_workers <= 1:
+            for b in range(n_batches):
+                yield assemble(b)
+            return
+
+        # overlapped assembly: a bounded queue of ready batches.  A worker
+        # exception is forwarded to the consumer (never a silent hang).
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def producer():
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    futures = [pool.submit(assemble, b)
+                               for b in range(n_batches)]
+                    for fut in futures:
+                        q.put(fut.result())
+                q.put(stop)
+            except BaseException as e:  # noqa: BLE001 — forwarded
+                q.put(e)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+        t.join()
+
+
+def device_prefetch(iterator, placer: Callable | None = None, depth: int = 2):
+    """Move batches to device ``depth`` steps ahead of consumption."""
+    import collections
+
+    import jax
+
+    placer = placer or (lambda b: jax.tree_util.tree_map(
+        jax.numpy.asarray, b))
+    buf = collections.deque()
+    it = iter(iterator)
+    try:
+        for _ in range(depth):
+            buf.append(placer(next(it)))
+    except StopIteration:
+        pass
+    while buf:
+        out = buf.popleft()
+        try:
+            buf.append(placer(next(it)))
+        except StopIteration:
+            pass
+        yield out

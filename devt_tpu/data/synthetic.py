@@ -67,3 +67,120 @@ def write_fake_frame_corpus(root: str, n_movies: int = 3,
                 Image.fromarray(arr).save(
                     os.path.join(d, f"frame-{f:04d}.png"))
     return root
+
+
+def write_fake_expert_corpus(root: str, n_movies: int = 8,
+                             scenes_per_movie: int = 6,
+                             experts=("img-embeddings", "location-embeddings",
+                                      "video-embeddings"),
+                             with_test_prefix: bool = True,
+                             seed: int = 0) -> tuple[str, str]:
+    """Synthetic MMX-temporal corpus: .npy expert tensors + streamed-pickle
+    train/val manifests with the reference's record structure
+    (``{"label": [[genres]], "path": str, "scenes": {sid: {chunk:
+    {expert: [paths]}}}}`` — create_mmx_temporal.py:20-81)."""
+    from collections import OrderedDict
+
+    from devt_tpu.config import MMX_GENRES_15
+    from devt_tpu.data.manifests import append_pickle
+
+    rng = np.random.default_rng(seed)
+    tensor_dir = os.path.join(root, "tensors")
+    os.makedirs(tensor_dir, exist_ok=True)
+
+    def make_manifest(path: str, start: int, count: int):
+        for m in range(start, start + count):
+            genres = [MMX_GENRES_15[rng.integers(len(MMX_GENRES_15))],
+                      MMX_GENRES_15[rng.integers(len(MMX_GENRES_15))]]
+            scenes = OrderedDict()
+            for s in range(scenes_per_movie):
+                chunk = {}
+                for e in experts:
+                    dim = 2048 if "video" not in e else 512
+                    t = rng.standard_normal((1, dim)).astype(np.float32)
+                    tp = os.path.join(tensor_dir, f"m{m}_s{s}_{e}.npy")
+                    np.save(tp, t)
+                    chunk[e] = [tp]
+                    if with_test_prefix:
+                        chunk[f"test-{e}"] = [tp]
+                scenes[f"{s:03d}"] = {"000": chunk}
+            append_pickle(path, {"label": [genres],
+                                 "path": f"movie{m}",
+                                 "scenes": scenes})
+
+    train = os.path.join(root, "train.pkl")
+    val = os.path.join(root, "val.pkl")
+    make_manifest(train, 0, n_movies)
+    make_manifest(val, n_movies, max(n_movies // 2, 2))
+    return train, val
+
+
+def write_fake_mit_corpus(root: str, n_videos: int = 12,
+                          chunks_per_video: int = 4,
+                          experts=("img-embeddings", "location-embeddings"),
+                          seed: int = 0) -> tuple[str, str]:
+    """Synthetic MIT-temporal corpus (record = ``{"label": str, "path": str,
+    "data": {cid: {expert: [paths]}}}`` — create_mit_temporal.py:26-64)."""
+    from devt_tpu.data.manifests import (append_pickle,
+                                         load_moments_categories)
+
+    rng = np.random.default_rng(seed)
+    labels = list(load_moments_categories().keys())[:10]
+    tensor_dir = os.path.join(root, "mit_tensors")
+    os.makedirs(tensor_dir, exist_ok=True)
+
+    def make(path: str, start: int, count: int):
+        for v in range(start, start + count):
+            data = {}
+            for c in range(chunks_per_video):
+                chunk = {}
+                for e in experts:
+                    t = rng.standard_normal((1, 2048)).astype(np.float32)
+                    tp = os.path.join(tensor_dir, f"v{v}_c{c}_{e}.npy")
+                    np.save(tp, t)
+                    chunk[e] = [tp]
+                    chunk[f"test-{e}"] = [tp]
+                data[f"{c:03d}"] = chunk
+            append_pickle(path, {"label": labels[v % len(labels)],
+                                 "path": f"video{v}", "data": data})
+
+    train = os.path.join(root, "mit_train.pkl")
+    val = os.path.join(root, "mit_val.pkl")
+    make(train, 0, n_videos)
+    make(val, n_videos, max(n_videos // 2, 2))
+    return train, val
+
+
+def write_fake_light_csv(root: str, n_movies: int = 4,
+                         scenes_per_movie: int = 3,
+                         frames_per_scene: int = 6,
+                         size: int = 64, seed: int = 0) -> str:
+    """Frame corpus + the ``out.csv`` (img_root, g1..g6) the MMX light
+    loader reads (MMX_Light_dl.py:133-141,254-264).  Layout matches the
+    light corpus: ``<img_root>/<scene>/<frame>.png`` — scene dirs directly
+    under img_root, pngs directly in each scene dir."""
+    import csv
+
+    from PIL import Image
+
+    from devt_tpu.config import MMX_GENRES_19
+
+    rng = np.random.default_rng(seed)
+    csv_path = os.path.join(root, "out.csv")
+    with open(csv_path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["img_root"] + [f"g{i}" for i in range(1, 7)])
+        for m in range(n_movies):
+            movie_root = os.path.join(root, "light", f"movie{m}")
+            for s in range(scenes_per_movie):
+                d = os.path.join(movie_root, f"scene{s:03d}")
+                os.makedirs(d, exist_ok=True)
+                for fi in range(frames_per_scene):
+                    arr = rng.integers(0, 255, (size, size, 3),
+                                       dtype=np.uint8)
+                    Image.fromarray(arr).save(
+                        os.path.join(d, f"frame-{fi:04d}.png"))
+            gs = [MMX_GENRES_19[rng.integers(len(MMX_GENRES_19))]
+                  for _ in range(2)] + [""] * 4
+            w.writerow([movie_root] + gs)
+    return csv_path

@@ -1,0 +1,230 @@
+"""Data pipeline tests over synthetic corpora (no real NFS data needed —
+the fixture generators stand in for the reference's missing fixtures)."""
+
+import random
+
+import numpy as np
+import pytest
+
+from devt_tpu.config import Config
+from devt_tpu.data import synthetic, transforms
+from devt_tpu.data.contrastive import ContrastiveDataModule
+from devt_tpu.data.mit_temporal import MITDataModule
+from devt_tpu.data.mmx_frame import MMXLightDataModule, collect_labels_19
+from devt_tpu.data.mmx_temporal import MMXDataModule, collect_labels_15
+from devt_tpu.data.pipeline import Loader
+from devt_tpu.data.samplers import weighted_sampler
+
+
+# ---------------------------------------------------------------------------
+# label packing
+# ---------------------------------------------------------------------------
+
+
+def test_labels_15_drama_fallback():
+    lab = collect_labels_15(["NotAGenre"])
+    assert lab[5] == 1.0 and lab.sum() == 1.0          # Drama fallback
+    lab = collect_labels_15(["Action", "War"])
+    assert lab[0] == 1.0 and lab[14] == 1.0 and lab.sum() == 2.0
+
+
+def test_labels_19_drama_fallback():
+    lab = collect_labels_19(["Zzz"])
+    assert lab[6] == 1.0 and lab.sum() == 1.0
+
+
+# ---------------------------------------------------------------------------
+# datamodules over synthetic corpora
+# ---------------------------------------------------------------------------
+
+
+def test_mmx_temporal_module(tmp_path):
+    train, val = synthetic.write_fake_expert_corpus(str(tmp_path))
+    cfg = Config(data_set="mmx", model="ptn", batch_size=2, seq_len=5,
+                 experts=("img-embeddings", "location-embeddings",
+                          "video-embeddings"))
+    dm = MMXDataModule(train, val, cfg).setup()
+    batch = next(iter(dm.train_batches()))
+    assert batch["experts"].shape == (2, 5, 3, 2048)
+    assert batch["label"].shape == (2, 15)
+    assert batch["experts"].dtype == np.float32
+    # val path must hit "test-"-prefixed experts and stay finite
+    vbatch = next(iter(dm.val_batches()))
+    assert np.isfinite(vbatch["experts"]).all()
+    # video expert is 512-wide on disk — zero-pad to 2048 means the tail
+    # of that expert is exactly zero at val (no train noise)
+    assert np.all(vbatch["experts"][:, :, 2, 512:] == 0)
+
+
+def test_mmx_temporal_concat_mixing(tmp_path):
+    train, val = synthetic.write_fake_expert_corpus(str(tmp_path))
+    cfg = Config(model="ptn", batch_size=2, seq_len=4,
+                 mixing_method="concat",
+                 experts=("img-embeddings", "location-embeddings"))
+    dm = MMXDataModule(train, val, cfg).setup()
+    batch = next(iter(dm.train_batches()))
+    assert batch["experts"].shape == (2, 4, 1, 4096)
+
+
+def test_mit_temporal_module(tmp_path):
+    train, val = synthetic.write_fake_mit_corpus(str(tmp_path))
+    cfg = Config(data_set="mit", model="ptn", batch_size=2, cls=1,
+                 experts=("img-embeddings", "location-embeddings"))
+    dm = MITDataModule(train, val, cfg).setup()
+    batch = next(iter(dm.train_batches()))
+    assert batch["experts"].shape == (2, 4, 2, 2048)   # 3 + CLS
+    assert batch["label"].dtype == np.int32
+    # repeat-padding: fewer chunks than target repeats the first row —
+    # with cls the first row is the random CLS vector
+    vb = next(iter(dm.val_batches()))
+    assert np.isfinite(vb["experts"]).all()
+
+
+def test_mmx_light_module(tmp_path):
+    csv_path = synthetic.write_fake_light_csv(str(tmp_path), n_movies=4)
+    cfg = Config(data_set="mmx-frame", model="vid", batch_size=2, seq_len=4,
+                 frame_len=6)
+    dm = MMXLightDataModule(csv_path, cfg)
+    dm.config = cfg
+    # tiny corpus: override the reference's 6047-row split
+    from devt_tpu.data import manifests
+    df_train, df_val = manifests.load_csv_manifest(csv_path, train_rows=3,
+                                                   val_rows=1)
+    dm.train_df, dm.val_df = df_train, df_val
+    dm.train_steps = 1
+    from devt_tpu.data.mmx_frame import MMXLightDataset
+    ds = MMXLightDataset(df_train, cfg, state="train")
+    item = ds[0]
+    assert item["vid"].shape == (4, 6, 112, 112, 3)
+    assert item["label"].shape == (19,)
+    assert np.isfinite(item["vid"]).all()
+    # scenes cycle modulo scene count: slot 3 repeats scene 0 for a
+    # 3-scene movie (MMX_Light_dl.py:254-286 cycling semantics)
+    loader = Loader(ds, 2, num_workers=2)
+    batch = next(iter(loader))
+    assert batch["vid"].shape == (2, 4, 6, 112, 112, 3)
+
+
+def test_contrastive_module(tmp_path):
+    train, val = synthetic.write_fake_expert_corpus(str(tmp_path))
+    cfg = Config(model="contrastive", batch_size=2, aggregation="none",
+                 input_shape=2048,
+                 experts=("img-embeddings", "location-embeddings"))
+    dm = ContrastiveDataModule(train, val, cfg).setup()
+    batch = next(iter(dm.train_batches()))
+    assert batch["x_i"].shape == (2, 2048)
+    assert batch["x_j"].shape == (2, 2048)
+    assert not np.allclose(batch["x_i"], batch["x_j"])
+
+
+def test_contrastive_concat_aggregation(tmp_path):
+    train, val = synthetic.write_fake_expert_corpus(str(tmp_path))
+    cfg = Config(model="contrastive", batch_size=2, aggregation="concat",
+                 input_shape=4096,
+                 experts=("img-embeddings", "location-embeddings"))
+    dm = ContrastiveDataModule(train, val, cfg).setup()
+    batch = next(iter(dm.train_batches()))
+    assert batch["x_i"].shape == (2, 4096)
+
+
+# ---------------------------------------------------------------------------
+# pipeline mechanics
+# ---------------------------------------------------------------------------
+
+
+class _Range:
+    def __init__(self, n):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        return {"x": np.full((3,), i, np.float32), "idx": np.int32(i)}
+
+
+def test_loader_per_host_sharding_disjoint():
+    ds = _Range(64)
+    seen = []
+    for rank in range(4):
+        loader = Loader(ds, 4, shuffle=True, seed=7, num_workers=1,
+                        process_index=rank, process_count=4)
+        idxs = [int(i) for b in loader for i in b["idx"]]
+        assert len(idxs) == 16
+        seen.append(set(idxs))
+    all_seen = set().union(*seen)
+    assert len(all_seen) == 64            # full coverage
+    for a in range(4):
+        for b in range(a + 1, 4):
+            assert not (seen[a] & seen[b])   # disjoint shards
+
+
+def test_loader_drop_last_and_shapes():
+    loader = Loader(_Range(10), 4, num_workers=1, process_index=0,
+                    process_count=1)
+    batches = list(loader)
+    assert len(batches) == 2              # drop_last
+    assert batches[0]["x"].shape == (4, 3)
+
+
+def test_weighted_sampler_balances():
+    labels = [0] * 90 + [1] * 10
+    sampler = weighted_sampler(labels)
+    rng = np.random.default_rng(0)
+    idx = sampler(rng)
+    drawn = np.asarray(labels)[idx]
+    frac1 = (drawn == 1).mean()
+    assert 0.35 < frac1 < 0.65            # ~balanced despite 9:1 skew
+
+
+# ---------------------------------------------------------------------------
+# transforms
+# ---------------------------------------------------------------------------
+
+
+def test_image_transforms_shapes_and_stats():
+    from PIL import Image
+
+    rng = random.Random(0)
+    img = Image.fromarray(
+        np.random.default_rng(0).integers(0, 255, (100, 140, 3),
+                                          dtype=np.uint8))
+    train = transforms.train_image_transform(img, rng)
+    assert train.shape == (224, 224, 3) and train.dtype == np.float32
+    val = transforms.val_image_transform(img)
+    assert val.shape == (224, 224, 3)
+    clip = transforms.clip_frame_transform(img, rng, train=True, erase=True)
+    assert clip.shape == (112, 112, 3)
+    # normalization: a mid-gray pixel lands near -mean/std
+    gray = Image.fromarray(np.full((64, 64, 3), 128, np.uint8))
+    out = transforms.val_image_transform(gray, size=32, resize=40)
+    expected = (128 / 255.0 - transforms.IMAGENET_MEAN) / \
+        transforms.IMAGENET_STD
+    np.testing.assert_allclose(out[0, 0], expected, atol=1e-5)
+
+
+def test_autoaugment_all_policies_run():
+    from PIL import Image
+
+    img = Image.fromarray(
+        np.random.default_rng(1).integers(0, 255, (64, 64, 3),
+                                          dtype=np.uint8))
+    for seed in range(50):   # cover all 25 sub-policies with both branches
+        out = transforms.autoaugment(img, random.Random(seed))
+        assert out.size == img.size
+
+
+def test_expert_augment_modes():
+    rng = random.Random(3)
+    x = np.ones((1, 2048), np.float32)
+    outs = [transforms.expert_augment(x, random.Random(s))
+            for s in range(40)]
+    assert any(np.all(o == 0) for o in outs)          # modality dropout fired
+    assert any((o != 0).all() and not np.allclose(o, x)
+               for o in outs)                          # noise fired
+
+
+def test_pad_to_width():
+    x = np.ones((2, 512), np.float32)
+    p = transforms.pad_to_width(x, 2048)
+    assert p.shape == (2, 2048) and p[:, 512:].sum() == 0
