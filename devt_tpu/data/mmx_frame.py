@@ -56,7 +56,13 @@ def _pil_load(path: str) -> Image.Image:
 
 
 class _FrameClipPacker:
-    """Shared fixed-shape packing for both frame loaders."""
+    """Shared fixed-shape packing for both frame loaders.
+
+    The per-frame decode+resize+normalize loop — the hot loop the reference
+    runs one PIL call at a time inside DataLoader workers
+    (MMX_Light_dl.py:274-284) — is served by the native C++ batch decoder
+    (devt_tpu/native.py, the DALI-equivalent) when built, with the PIL path
+    as fallback and for augmented train images."""
 
     def __init__(self, config: Config, state: str):
         self.config = config
@@ -67,6 +73,9 @@ class _FrameClipPacker:
                              "sum_residual", "post_sum")
         self.need_vid = config.model in variants_with_vid
         self.need_img = config.model != "vid"
+        from devt_tpu import native
+
+        self.native = native if native.available() else None
 
     def empty(self):
         img = np.zeros((self.seq_len, 224, 224, 3), np.float32)
@@ -90,16 +99,33 @@ class _FrameClipPacker:
                 idxs = list(range(start, start + self.frame_len))
             else:
                 idxs = [min(k, n - 1) for k in range(self.frame_len)]
-            for k, fi in enumerate(idxs):
-                vid[slot, k] = transforms.clip_frame_transform(
-                    _pil_load(frame_paths[fi]), rng, train=train,
-                    erase=not cycle)
+            erase = train and not cycle
+            if self.native is not None:
+                frames, _ = self.native.load_batch_f32(
+                    [frame_paths[fi] for fi in idxs], 120, 112,
+                    transforms.KINETICS_MEAN, transforms.KINETICS_STD)
+                if erase:
+                    for k in range(self.frame_len):
+                        frames[k] = transforms.random_erasing(frames[k], rng)
+                vid[slot] = frames
+            else:
+                for k, fi in enumerate(idxs):
+                    vid[slot, k] = transforms.clip_frame_transform(
+                        _pil_load(frame_paths[fi]), rng, train=train,
+                        erase=erase)
         if self.need_img:
             pick = frame_paths[rng.randint(0, n - 1)] if train \
                 else frame_paths[0]
             if train:
+                # augmented path stays on PIL (AutoAugment needs PIL kernels)
                 img[slot] = transforms.train_image_transform(
                     _pil_load(pick), rng)
+            elif self.native is not None:
+                out = self.native.load_image_f32(
+                    pick, 230, 224, transforms.IMAGENET_MEAN,
+                    transforms.IMAGENET_STD)
+                if out is not None:
+                    img[slot] = out
             else:
                 img[slot] = transforms.val_image_transform(_pil_load(pick))
 

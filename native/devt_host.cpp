@@ -1,0 +1,345 @@
+// devt_host — native host-side data library for devt_tpu.
+//
+// The TPU-native equivalent of the reference's native data dependencies
+// (SURVEY.md §2.7): NVIDIA DALI's fused decode→resize→crop→normalize
+// pipeline (reference: src/dataloaders/mmx/MMX_Light_dl.py:80-102), the
+// per-frame PIL/libjpeg decode in DataLoader workers
+// (MMX_Frame_dl.py:101-104), and the Annoy ANN index over exported
+// embeddings (src/data_processing/tools/nearest_neighbour.py:18-42).
+//
+// Everything is exposed through a C ABI consumed via ctypes
+// (devt_tpu/native.py).  Batch entry points spawn std::thread workers so
+// a host stays ahead of the TPU step loop.
+//
+// Build: make -C native    (g++ -O3 -shared, links libjpeg + libpng)
+
+#include <cstddef>
+#include <cstdio>
+
+#include <jpeglib.h>
+#include <png.h>
+
+#include <algorithm>
+#include <atomic>
+#include <cfenv>
+#include <cmath>
+#include <csetjmp>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <queue>
+#include <thread>
+#include <vector>
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// Decoders → RGB8
+// ---------------------------------------------------------------------------
+
+struct Image {
+  std::vector<uint8_t> rgb;  // HWC, 3 channels
+  int w = 0, h = 0;
+  bool ok = false;
+};
+
+struct JpegErr {
+  jpeg_error_mgr mgr;
+  jmp_buf jump;
+};
+
+void jpeg_err_exit(j_common_ptr cinfo) {
+  auto* err = reinterpret_cast<JpegErr*>(cinfo->err);
+  longjmp(err->jump, 1);
+}
+
+Image decode_jpeg(FILE* f) {
+  Image img;
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_err_exit;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_decompress(&cinfo);
+    return img;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, f);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  img.w = cinfo.output_width;
+  img.h = cinfo.output_height;
+  img.rgb.resize(size_t(img.w) * img.h * 3);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* row = img.rgb.data() + size_t(cinfo.output_scanline) * img.w * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  img.ok = true;
+  return img;
+}
+
+Image decode_png(FILE* f) {
+  Image img;
+  png_structp png =
+      png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  if (!png) return img;
+  png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_read_struct(&png, nullptr, nullptr);
+    return img;
+  }
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return img;
+  }
+  png_init_io(png, f);
+  png_read_info(png, info);
+  png_set_expand(png);           // palettes / low-bit-depth → 8-bit
+  png_set_strip_16(png);
+  png_set_strip_alpha(png);
+  png_set_gray_to_rgb(png);
+  png_read_update_info(png, info);
+  img.w = png_get_image_width(png, info);
+  img.h = png_get_image_height(png, info);
+  img.rgb.resize(size_t(img.w) * img.h * 3);
+  std::vector<png_bytep> rows(img.h);
+  for (int y = 0; y < img.h; ++y)
+    rows[y] = img.rgb.data() + size_t(y) * img.w * 3;
+  png_read_image(png, rows.data());
+  png_destroy_read_struct(&png, &info, nullptr);
+  img.ok = true;
+  return img;
+}
+
+Image decode_file(const char* path) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return {};
+  uint8_t magic[8] = {0};
+  size_t n = fread(magic, 1, 8, f);
+  rewind(f);
+  Image img;
+  if (n >= 2 && magic[0] == 0xFF && magic[1] == 0xD8) {
+    img = decode_jpeg(f);
+  } else if (n >= 8 && png_sig_cmp(magic, 0, 8) == 0) {
+    img = decode_png(f);
+  }
+  fclose(f);
+  return img;
+}
+
+// ---------------------------------------------------------------------------
+// Resize (bilinear, half-pixel centers) + center crop + normalize
+// ---------------------------------------------------------------------------
+
+Image resize_bilinear(const Image& src, int nw, int nh) {
+  Image dst;
+  dst.w = nw;
+  dst.h = nh;
+  dst.rgb.resize(size_t(nw) * nh * 3);
+  const float sx = float(src.w) / nw, sy = float(src.h) / nh;
+  for (int y = 0; y < nh; ++y) {
+    float fy = (y + 0.5f) * sy - 0.5f;
+    int y0 = std::clamp(int(std::floor(fy)), 0, src.h - 1);
+    int y1 = std::min(y0 + 1, src.h - 1);
+    float wy = fy - std::floor(fy);
+    if (fy < 0) wy = 0;
+    for (int x = 0; x < nw; ++x) {
+      float fx = (x + 0.5f) * sx - 0.5f;
+      int x0 = std::clamp(int(std::floor(fx)), 0, src.w - 1);
+      int x1 = std::min(x0 + 1, src.w - 1);
+      float wx = fx - std::floor(fx);
+      if (fx < 0) wx = 0;
+      for (int c = 0; c < 3; ++c) {
+        float v00 = src.rgb[(size_t(y0) * src.w + x0) * 3 + c];
+        float v01 = src.rgb[(size_t(y0) * src.w + x1) * 3 + c];
+        float v10 = src.rgb[(size_t(y1) * src.w + x0) * 3 + c];
+        float v11 = src.rgb[(size_t(y1) * src.w + x1) * 3 + c];
+        float top = v00 + (v01 - v00) * wx;
+        float bot = v10 + (v11 - v10) * wx;
+        dst.rgb[(size_t(y) * nw + x) * 3 + c] =
+            uint8_t(std::lround(top + (bot - top) * wy));
+      }
+    }
+  }
+  dst.ok = true;
+  return dst;
+}
+
+// one fused sample: decode → shorter-side resize → center crop →
+// normalize((v/255 - mean) / std) → f32 HWC
+int load_image_f32_impl(const char* path, int resize, int crop,
+                        const float* mean, const float* stddev, float* out) {
+  Image img = decode_file(path);
+  if (!img.ok) return -1;
+  int nw, nh;
+  if (img.w <= img.h) {
+    nw = resize;
+    nh = std::max(1, int(std::lround(double(img.h) * resize / img.w)));
+  } else {
+    nh = resize;
+    nw = std::max(1, int(std::lround(double(img.w) * resize / img.h)));
+  }
+  Image r = resize_bilinear(img, nw, nh);
+  // round-half-even center offsets (python round() semantics, which the
+  // PIL/torchvision path uses for (size - crop) / 2.0)
+  int left = int(std::nearbyint((nw - crop) / 2.0));
+  int top = int(std::nearbyint((nh - crop) / 2.0));
+  if (left < 0 || top < 0) return -2;
+  for (int y = 0; y < crop; ++y) {
+    const uint8_t* srow = r.rgb.data() + (size_t(top + y) * nw + left) * 3;
+    float* drow = out + size_t(y) * crop * 3;
+    for (int x = 0; x < crop * 3; x += 3) {
+      drow[x + 0] = (srow[x + 0] / 255.0f - mean[0]) / stddev[0];
+      drow[x + 1] = (srow[x + 1] / 255.0f - mean[1]) / stddev[1];
+      drow[x + 2] = (srow[x + 2] / 255.0f - mean[2]) / stddev[2];
+    }
+  }
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Exact ANN index (Annoy-equivalent for the retrieval tool)
+// ---------------------------------------------------------------------------
+
+struct AnnIndex {
+  int dim;
+  std::vector<float> data;  // n × dim
+  int size() const { return int(data.size() / dim); }
+};
+
+}  // namespace
+
+extern "C" {
+
+// ---- image pipeline -------------------------------------------------------
+
+// Fused single-image load; returns 0 on success.
+int devt_load_image_f32(const char* path, int resize, int crop,
+                        const float* mean, const float* stddev, float* out) {
+  return load_image_f32_impl(path, resize, crop, mean, stddev, out);
+}
+
+// Threaded batch: n paths → out[n, crop, crop, 3] f32.  status[i] per image
+// (0 ok; missing/corrupt images leave zeros — the pipeline's
+// fault-tolerance contract, MMX_Temporal_dl.py:163-171).
+int devt_load_batch_f32(const char** paths, int n, int resize, int crop,
+                        const float* mean, const float* stddev, float* out,
+                        int* status, int nthreads) {
+  const size_t stride = size_t(crop) * crop * 3;
+  std::atomic<int> next(0);
+  auto worker = [&]() {
+    for (int i = next.fetch_add(1); i < n; i = next.fetch_add(1)) {
+      float* dst = out + size_t(i) * stride;
+      int rc = load_image_f32_impl(paths[i], resize, crop, mean, stddev, dst);
+      if (rc != 0) std::memset(dst, 0, stride * sizeof(float));
+      if (status) status[i] = rc;
+    }
+  };
+  int nt = std::max(1, std::min(nthreads, n));
+  std::vector<std::thread> threads;
+  threads.reserve(nt);
+  for (int t = 0; t < nt; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+  return 0;
+}
+
+// Raw decode (RGB8) for callers that augment before normalize.
+int devt_decode_image(const char* path, uint8_t* out, int max_bytes, int* w,
+                      int* h) {
+  Image img = decode_file(path);
+  if (!img.ok) return -1;
+  if (int(img.rgb.size()) > max_bytes) return -2;
+  std::memcpy(out, img.rgb.data(), img.rgb.size());
+  *w = img.w;
+  *h = img.h;
+  return 0;
+}
+
+int devt_image_dims(const char* path, int* w, int* h) {
+  Image img = decode_file(path);
+  if (!img.ok) return -1;
+  *w = img.w;
+  *h = img.h;
+  return 0;
+}
+
+// ---- ANN index -------------------------------------------------------------
+
+void* devt_ann_create(int dim) { return new AnnIndex{dim, {}}; }
+
+void devt_ann_destroy(void* idx) { delete static_cast<AnnIndex*>(idx); }
+
+void devt_ann_add(void* idx, const float* v) {
+  auto* a = static_cast<AnnIndex*>(idx);
+  a->data.insert(a->data.end(), v, v + a->dim);
+}
+
+int devt_ann_size(void* idx) { return static_cast<AnnIndex*>(idx)->size(); }
+
+// Exact k-NN by Euclidean distance (the reference builds a 750-tree Annoy
+// index over 15-d embeddings — at these dims exact search is both faster
+// and exact, nearest_neighbour.py:24-32).
+void devt_ann_query(void* idx, const float* q, int k, int* out_ids,
+                    float* out_dists) {
+  auto* a = static_cast<AnnIndex*>(idx);
+  const int n = a->size(), d = a->dim;
+  k = std::min(k, n);
+  using Pair = std::pair<float, int>;
+  std::priority_queue<Pair> heap;  // max-heap of the k best
+  for (int i = 0; i < n; ++i) {
+    const float* v = a->data.data() + size_t(i) * d;
+    float dist = 0.0f;
+    for (int j = 0; j < d; ++j) {
+      float diff = v[j] - q[j];
+      dist += diff * diff;
+    }
+    if (int(heap.size()) < k) {
+      heap.emplace(dist, i);
+    } else if (dist < heap.top().first) {
+      heap.pop();
+      heap.emplace(dist, i);
+    }
+  }
+  for (int i = int(heap.size()) - 1; i >= 0; --i) {
+    out_dists[i] = std::sqrt(heap.top().first);
+    out_ids[i] = heap.top().second;
+    heap.pop();
+  }
+}
+
+int devt_ann_save(void* idx, const char* path) {
+  auto* a = static_cast<AnnIndex*>(idx);
+  FILE* f = fopen(path, "wb");
+  if (!f) return -1;
+  int n = a->size();
+  fwrite(&a->dim, sizeof(int), 1, f);
+  fwrite(&n, sizeof(int), 1, f);
+  fwrite(a->data.data(), sizeof(float), a->data.size(), f);
+  fclose(f);
+  return 0;
+}
+
+void* devt_ann_load(const char* path) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return nullptr;
+  int dim = 0, n = 0;
+  if (fread(&dim, sizeof(int), 1, f) != 1 ||
+      fread(&n, sizeof(int), 1, f) != 1) {
+    fclose(f);
+    return nullptr;
+  }
+  auto* a = new AnnIndex{dim, {}};
+  a->data.resize(size_t(n) * dim);
+  size_t got = fread(a->data.data(), sizeof(float), a->data.size(), f);
+  fclose(f);
+  if (got != a->data.size()) {
+    delete a;
+    return nullptr;
+  }
+  return a;
+}
+
+}  // extern "C"

@@ -1,0 +1,75 @@
+"""Native host library: decode/preprocess parity vs PIL path + ANN index."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from devt_tpu import native
+from devt_tpu.data import transforms
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native lib not built")
+
+
+@pytest.fixture(scope="module")
+def image_files(tmp_path_factory):
+    root = tmp_path_factory.mktemp("imgs")
+    rng = np.random.default_rng(0)
+    paths = []
+    for i, (size, fmt) in enumerate([((80, 120), "JPEG"), ((64, 64), "PNG"),
+                                     ((150, 90), "JPEG")]):
+        arr = rng.integers(0, 255, (size[0], size[1], 3), dtype=np.uint8)
+        p = os.path.join(root, f"img{i}.{fmt.lower()}")
+        Image.fromarray(arr).save(p, fmt)
+        paths.append(p)
+    return paths
+
+
+def test_fused_load_close_to_pil_path(image_files):
+    mean, std = transforms.IMAGENET_MEAN, transforms.IMAGENET_STD
+    for p in image_files:
+        got = native.load_image_f32(p, 230, 56, mean, std)
+        assert got is not None and got.shape == (56, 56, 3)
+        ref = transforms.val_image_transform(Image.open(p).convert("RGB"),
+                                             size=56, resize=230)
+        # PIL and the native resampler use slightly different bilinear
+        # weighting; require close agreement in normalized units
+        assert np.mean(np.abs(got - ref)) < 0.12
+        assert np.corrcoef(got.ravel(), ref.ravel())[0, 1] > 0.98
+
+
+def test_batch_load_threads_and_fault_tolerance(image_files):
+    mean, std = transforms.KINETICS_MEAN, transforms.KINETICS_STD
+    paths = image_files + ["/nonexistent/file.jpg"]
+    out, status = native.load_batch_f32(paths, 120, 112, mean, std,
+                                        nthreads=4)
+    assert out.shape == (4, 112, 112, 3)
+    assert status[:3].tolist() == [0, 0, 0]
+    assert status[3] != 0
+    assert np.all(out[3] == 0)          # failed decode leaves zeros
+    assert np.isfinite(out).all()
+
+
+def test_ann_index_exact_knn(tmp_path):
+    rng = np.random.default_rng(1)
+    data = rng.standard_normal((200, 15)).astype(np.float32)
+    idx = native.AnnIndex(15)
+    for i, v in enumerate(data):
+        idx.add_item(i, v)
+    idx.build(750)
+    assert len(idx) == 200
+
+    q = data[17] + 0.01 * rng.standard_normal(15).astype(np.float32)
+    ids, dists = idx.get_nns_by_vector(q, 10, include_distances=True)
+    # exact search must rank item 17 first and distances ascending
+    true_order = np.argsort(np.linalg.norm(data - q, axis=1))[:10]
+    assert ids == true_order.tolist()
+    assert ids[0] == 17
+    assert all(dists[i] <= dists[i + 1] for i in range(9))
+
+    path = str(tmp_path / "test.ann")
+    idx.save(path)
+    loaded = native.AnnIndex.load(15, path)
+    assert loaded.get_nns_by_vector(q, 3) == ids[:3]
