@@ -1,0 +1,86 @@
+"""Auxiliary subsystems: profiling, Grad-CAM, SSL online probe, loggers."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from devt_tpu.tools.gradcam import gradcam_resnet, show_cam_on_image
+from devt_tpu.train.callbacks import SSLOnlineEval
+from devt_tpu.train.loggers import JsonlLogger
+from devt_tpu.train.metrics import RunningBuffers
+from devt_tpu.train.profiling import StepTimer, annotate, trace
+
+
+def test_step_timer_percentiles():
+    import time
+
+    t = StepTimer(warmup=0)
+    for _ in range(5):
+        t.mark_step()
+        time.sleep(0.01)
+    s = t.summary(items_per_step=8)
+    assert 5 < s["step_ms_p50"] < 100
+    assert s["items_per_sec"] > 0
+
+
+def test_trace_writes_profile(tmp_path):
+    with trace(str(tmp_path)):
+        with annotate("compute"):
+            jnp.ones((64, 64)).sum().block_until_ready()
+    # profiler emits a plugins/profile/<run>/ directory
+    found = []
+    for root, _, files in os.walk(tmp_path):
+        found.extend(files)
+    assert found, "no profile artifacts written"
+
+
+def test_gradcam_highlights_and_overlay():
+    from devt_tpu.models.resnet import resnet18
+
+    model = resnet18(output="logits", num_classes=5)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (2, 64, 64, 3)), jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x)
+    cam = gradcam_resnet(model, variables, x, class_idx=1)
+    assert cam.shape == (2, 2, 2)           # 64/32
+    assert cam.min() >= 0.0 and cam.max() <= 1.0
+
+    img = np.random.default_rng(1).random((64, 64, 3)).astype(np.float32)
+    overlay = show_cam_on_image(img, cam[0])
+    assert overlay.shape == (64, 64, 3) and overlay.dtype == np.uint8
+
+
+def test_ssl_online_probe_learns():
+    """The linear probe must fit separable detached embeddings."""
+    rng = np.random.default_rng(0)
+    n, d, c = 64, 16, 3
+    labels_idx = rng.integers(0, c, n)
+    centers = rng.standard_normal((c, d)) * 3
+    z = centers[labels_idx] + 0.1 * rng.standard_normal((n, d))
+    y = np.zeros((n, c), np.float32)
+    y[np.arange(n), labels_idx] = 1.0
+
+    probe = SSLOnlineEval(z_dim=d, num_classes=c, lr=0.05)
+    logger = JsonlLogger(log_dir="/tmp/devt_probe_test", name="probe")
+    aux = {"embedding": jnp.asarray(z), "label": jnp.asarray(y)}
+    for step in range(200):
+        probe.on_train_batch_end(aux, logger, step)
+
+    buffers = RunningBuffers()
+    probe.eval_batch(aux, buffers)
+    labels, probs = buffers.concatenated()
+    acc = (probs.argmax(-1) == labels.argmax(-1)).mean()
+    assert acc > 0.9
+
+
+def test_jsonl_logger_roundtrip(tmp_path):
+    logger = JsonlLogger(log_dir=str(tmp_path), name="t")
+    logger.log({"a": 1.5, "b": "text"}, step=3)
+    logger.log_text("report", "line1\nline2", step=4)
+    logger.close()
+    lines = [json.loads(l) for l in open(logger.path)]
+    assert lines[0]["a"] == 1.5 and lines[0]["step"] == 3
+    assert "line1" in lines[1]["report"]
