@@ -93,5 +93,40 @@ def main():
     return 0 if result.get("value", 0) > 0 else 1
 
 
+def _watchdog_main(timeout_s: int = 1500) -> int:
+    """Run the bench in a subprocess with a hard timeout.
+
+    The tunneled TPU backend can wedge indefinitely (in-flight remote
+    compiles survive client death — see .claude/skills/verify/SKILL.md);
+    a hang must still produce one parseable JSON line.
+    """
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, __file__, "--inner"],
+            capture_output=True, text=True, timeout=timeout_s)
+        for line in (proc.stdout or "").splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                print(line)
+                return proc.returncode
+        print(json.dumps({
+            "metric": "clips/sec/chip fwd+bwd (16x224x224 clips)",
+            "value": 0.0, "unit": "clips/sec/chip", "vs_baseline": 0.0,
+            "error": f"no JSON emitted; stderr tail: "
+                     f"{(proc.stderr or '')[-300:]}"}))
+        return 1
+    except subprocess.TimeoutExpired:
+        print(json.dumps({
+            "metric": "clips/sec/chip fwd+bwd (16x224x224 clips)",
+            "value": 0.0, "unit": "clips/sec/chip", "vs_baseline": 0.0,
+            "error": f"bench timed out after {timeout_s}s (TPU backend "
+                     f"unresponsive)"}))
+        return 1
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    if "--inner" in sys.argv:
+        sys.exit(main())
+    sys.exit(_watchdog_main())
