@@ -340,6 +340,150 @@ def flash_attention(q, k, v, *, scale: float | None = None,
     kp = pad(k, skv_p).reshape(b * h, skv_p, d_p)
     vp = pad(v, skv_p).reshape(b * h, skv_p, d_p)
     # Kernels mask kv positions >= the true (unpadded) kv length.
-    o = _flash_padded(qp, kp, vp, scale, skv, block_q, block_kv, interpret)
+    if sq_p == skv_p and skv_p <= block_kv:
+        # short-sequence fast path: whole kv in one block, G heads per
+        # grid step, no online-softmax rescaling
+        o = _flash_single(qp, kp, vp, scale, skv, interpret)
+    else:
+        o = _flash_padded(qp, kp, vp, scale, skv, block_q, block_kv,
+                          interpret)
     o = o.reshape(b, h, sq_p, d_p)[:, :, :sq, :d]
     return o
+
+
+# ---------------------------------------------------------------------------
+# Batched single-block kernel — the fast path for the model family's
+# short sequences (≤ one kv block): G (batch·head) rows per grid step
+# amortise grid overhead, and with the whole kv present there is no
+# online-softmax rescaling at all.
+# ---------------------------------------------------------------------------
+
+
+def _fwd_single_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
+                       *, scale: float, kv_len: int):
+    q = q_ref[...]   # (G, S, D)
+    k = k_ref[...]
+    v = v_ref[...]
+
+    s = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * scale                                   # (G, S, S)
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+    s = jnp.where(col < kv_len, s, NEG_INF)
+
+    m = jnp.max(s, axis=-1, keepdims=True)      # (G, S, 1)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        (p / l).astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    o_ref[...] = o.astype(o_ref.dtype)
+    lse_ref[...] = jnp.broadcast_to(m + jnp.log(l), lse_ref.shape)
+
+
+def _bwd_single_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
+                       dq_ref, dk_ref, dv_ref,
+                       *, scale: float, kv_len: int):
+    q = q_ref[...]
+    k = k_ref[...]
+    v = v_ref[...]
+    do = do_ref[...]
+    lse = lse_ref[..., :1]                      # (G, S, 1)
+    delta = jnp.sum(do.astype(jnp.float32) * o_ref[...].astype(jnp.float32),
+                    axis=-1, keepdims=True)     # (G, S, 1)
+
+    s = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * scale
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+    s = jnp.where(col < kv_len, s, NEG_INF)
+    p = jnp.exp(s - lse)                        # (G, Sq, Skv)
+
+    dv_ref[...] = jax.lax.dot_general(
+        p.astype(do.dtype), do, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+    dp = jax.lax.dot_general(
+        do, v, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    ds = p * (dp - delta) * scale               # (G, Sq, Skv)
+    dq_ref[...] = jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+    dk_ref[...] = jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32).astype(dk_ref.dtype)
+
+
+def _pick_group(bh: int, s_p: int, d_p: int, bytes_budget: int = 6 << 20
+                ) -> int:
+    """Largest G dividing bh whose working set fits comfortably in VMEM."""
+    per_row = (3 * s_p * d_p * 2      # q, k, v bf16-ish
+               + 2 * s_p * s_p * 4    # scores + probs f32
+               + 2 * s_p * d_p * 4)   # o accum + lse
+    g = max(1, bytes_budget // max(per_row, 1))
+    while g > 1 and bh % g:
+        g -= 1
+    return int(g)
+
+
+def _fwd_single(q, k, v, *, scale, kv_len, interpret):
+    bh, s_p, d_p = q.shape
+    g = _pick_group(bh, s_p, d_p)
+    kernel = functools.partial(_fwd_single_kernel, scale=scale, kv_len=kv_len)
+    return pl.pallas_call(
+        kernel,
+        grid=(bh // g,),
+        in_specs=[pl.BlockSpec((g, s_p, d_p), lambda b: (b, 0, 0))] * 3,
+        out_specs=(
+            pl.BlockSpec((g, s_p, d_p), lambda b: (b, 0, 0)),
+            pl.BlockSpec((g, s_p, _LANES), lambda b: (b, 0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, s_p, d_p), q.dtype),
+            jax.ShapeDtypeStruct((bh, s_p, _LANES), jnp.float32),
+        ),
+        interpret=interpret,
+    )(q, k, v)
+
+
+def _bwd_single(q, k, v, o, lse, do, *, scale, kv_len, interpret):
+    bh, s_p, d_p = q.shape
+    g = _pick_group(bh, s_p, d_p)
+    kernel = functools.partial(_bwd_single_kernel, scale=scale, kv_len=kv_len)
+    spec = pl.BlockSpec((g, s_p, d_p), lambda b: (b, 0, 0))
+    return pl.pallas_call(
+        kernel,
+        grid=(bh // g,),
+        in_specs=[spec, spec, spec, spec, spec,
+                  pl.BlockSpec((g, s_p, _LANES), lambda b: (b, 0, 0))],
+        out_specs=(spec, spec, spec),
+        out_shape=(
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ),
+        interpret=interpret,
+    )(q, k, v, o, do, lse)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash_single(q, k, v, scale, kv_len, interpret):
+    o, _ = _fwd_single(q, k, v, scale=scale, kv_len=kv_len,
+                       interpret=interpret)
+    return o
+
+
+def _flash_single_fwd(q, k, v, scale, kv_len, interpret):
+    o, lse = _fwd_single(q, k, v, scale=scale, kv_len=kv_len,
+                         interpret=interpret)
+    return o, (q, k, v, o, lse)
+
+
+def _flash_single_bwd(scale, kv_len, interpret, res, do):
+    q, k, v, o, lse = res
+    return _bwd_single(q, k, v, o, lse, do, scale=scale, kv_len=kv_len,
+                       interpret=interpret)
+
+
+_flash_single.defvjp(_flash_single_fwd, _flash_single_bwd)
