@@ -74,6 +74,7 @@ class FrameTransformer(nn.Module):
     img_size: int = 224
     vid_size: int = 112
     attention_impl: str = "auto"
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -92,11 +93,11 @@ class FrameTransformer(nn.Module):
         # TransformerBase(896, 128, 2, 512, 4, 0.5) — frame_transformer.py:99
         self.distil_transformer = TorchTransformerEncoder(
             e, 2, 512, 4, dropout=0.5, attention_impl=self.attention_impl,
-            dtype=self.dtype, name="distil_transformer")
+            remat=self.remat, dtype=self.dtype, name="distil_transformer")
         # TransformerBase(896, 896, 4, 896, 4, 0.5) — frame_transformer.py:98
         self.scene_transformer = TorchTransformerEncoder(
             e, 4, 896, 4, dropout=0.5, attention_impl=self.attention_impl,
-            dtype=self.dtype, name="scene_transformer")
+            remat=self.remat, dtype=self.dtype, name="scene_transformer")
 
         if self.use_cls:
             # learned clip-shaped / image-shaped CLS tokens

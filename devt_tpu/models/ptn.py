@@ -54,6 +54,7 @@ class PTN(nn.Module):
     dropout: float = 0.5
     shared: bool = False       # False = "ptn", True = "ptn_shared"
     attention_impl: str = "auto"
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -68,8 +69,8 @@ class PTN(nn.Module):
         def encoder(name):
             return TorchTransformerEncoder(
                 d, self.nhead, self.nhid, self.nlayers, dropout=self.dropout,
-                attention_impl=self.attention_impl, dtype=self.dtype,
-                name=name)
+                attention_impl=self.attention_impl, remat=self.remat,
+                dtype=self.dtype, name=name)
 
         if self.shared:
             self.encoders = (encoder("encoder_shared"),)

@@ -97,14 +97,21 @@ class TorchTransformerEncoder(nn.Module):
     num_layers: int
     dropout: float = 0.1
     attention_impl: str = "auto"
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        layer_cls = TorchEncoderLayer
+        if self.remat:
+            # rematerialise each layer on the backward pass — trades FLOPs
+            # for HBM (SURVEY/BASELINE "jax.checkpoint" intent)
+            layer_cls = nn.remat(TorchEncoderLayer,
+                                 static_argnums=(2,))
         for i in range(self.num_layers):
-            x = TorchEncoderLayer(
+            x = layer_cls(
                 self.d_model, self.nhead, self.dim_feedforward,
                 dropout=self.dropout, attention_impl=self.attention_impl,
                 dtype=self.dtype, name=f"layer_{i}")(
-                    x, deterministic=deterministic)
+                    x, deterministic)
         return x

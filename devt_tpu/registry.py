@@ -40,7 +40,8 @@ def build_model(config: Config) -> nn.Module:
                    num_experts=len(config.experts),
                    seq_len=config.seq_len, n_classes=config.n_classes,
                    dropout=config.dropout, shared=name == "ptn_shared",
-                   attention_impl=config.attention_impl, dtype=dtype)
+                   attention_impl=config.attention_impl, remat=config.remat,
+                   dtype=dtype)
 
     if name == "lstm":
         # hard-coded at the reference dispatch site (src/main.py:40-42)
@@ -53,7 +54,7 @@ def build_model(config: Config) -> nn.Module:
                                 n_classes=config.n_classes,
                                 use_cls=bool(config.cls),
                                 attention_impl=config.attention_impl,
-                                dtype=dtype)
+                                remat=config.remat, dtype=dtype)
 
     if name == "vivit":
         return ViViT(num_classes=config.n_classes,

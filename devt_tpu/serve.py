@@ -1,0 +1,136 @@
+"""Batch inference / serving.
+
+The reference's deployment story is ``trainer.test`` from a checkpoint
+(src/main.py:89-111).  For production serving this module wraps a trained
+model in a :class:`Predictor`:
+
+  * one jit-compiled forward per (padded) batch shape — requests are
+    padded up to the nearest compiled bucket so arbitrary batch sizes
+    never trigger recompiles;
+  * checkpoint loading via Orbax (devt_tpu checkpoints) or the Lightning
+    importer (reference ``.ckpt`` files);
+  * outputs are post-sigmoid/softmax scores plus thresholded genre labels
+    — the callback semantics (threshold 0.3, callbacks.py:59) as an API.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from devt_tpu.config import MMX_GENRES_15, MMX_GENRES_19, Config
+from devt_tpu.registry import build_model
+
+
+def _pad_to(x: np.ndarray, n: int) -> np.ndarray:
+    if x.shape[0] == n:
+        return x
+    pad = [(0, n - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
+    return np.pad(x, pad)
+
+
+class Predictor:
+    """Jit-compiled inference over bucketed batch sizes."""
+
+    def __init__(self, config: Config, variables: Mapping[str, Any],
+                 buckets: Sequence[int] = (1, 8, 32),
+                 threshold: float = 0.3):
+        self.config = config
+        self.model = build_model(config)
+        self.variables = dict(variables)
+        self.buckets = sorted(buckets)
+        self.threshold = threshold
+        self.target_names = (MMX_GENRES_19 if config.n_classes == 19
+                             else MMX_GENRES_15)
+
+        model = self.model
+        name = config.model
+
+        def forward(variables, batch):
+            if name in ("ptn", "ptn_shared"):
+                out = model.apply(variables, batch["experts"])
+            elif name == "vivit":
+                out = model.apply(variables, batch["vid"])
+            elif name == "tpn":
+                return model.apply(variables, batch["img"])  # already probs
+            elif name == "lstm":
+                out = model.apply(variables, batch["experts"])
+            elif name == "basicmlp":
+                out = model.apply(variables, batch["experts"])
+                return jax.nn.softmax(out, axis=-1)
+            else:
+                out = model.apply(variables, img=batch.get("img"),
+                                  vid=batch.get("vid"))["logits"]
+            return jax.nn.sigmoid(out)
+
+        self._forward = jax.jit(forward)
+
+    @classmethod
+    def from_checkpoint(cls, config: Config, ckpt_path: str,
+                        **kw) -> "Predictor":
+        from devt_tpu.registry import example_batch
+        from devt_tpu.train import checkpoint as ckpt_lib
+        from devt_tpu.train.optimizers import build_optimizer
+        from devt_tpu.train.state import TrainState
+
+        model = build_model(config)
+        batch = {k: jnp.asarray(v)
+                 for k, v in example_batch(config, batch_size=1).items()
+                 if k != "label"}
+        pred = cls.__new__(cls)
+        # init abstract state to restore into
+        rngs = {"params": jax.random.PRNGKey(0)}
+        from devt_tpu.train.harness import Trainer
+
+        trainer_kwargs = Trainer(config)._apply_kwargs(batch)
+        variables = dict(model.init(rngs, **trainer_kwargs))
+        params = variables.pop("params")
+        state = TrainState.create(params, build_optimizer(config),
+                                  model_state=variables)
+        state = ckpt_lib.restore(ckpt_path, state)
+        return cls(config, {"params": state.params, **state.model_state},
+                   **kw)
+
+    @classmethod
+    def from_lightning_checkpoint(cls, config: Config, ckpt_path: str,
+                                  **kw) -> "Predictor":
+        from devt_tpu.utils import lightning_import
+
+        sd = lightning_import.load_checkpoint_state_dict(ckpt_path)
+        if config.model in ("ptn", "ptn_shared"):
+            variables = lightning_import.simple_transformer(
+                sd, nlayers=config.nlayers,
+                num_experts=len(config.experts))
+        else:
+            variables = lightning_import.frame_transformer(sd)
+        return cls(config, variables, **kw)
+
+    # ------------------------------------------------------------------
+    def _bucket(self, n: int) -> int:
+        for b in self.buckets:
+            if n <= b:
+                return b
+        return self.buckets[-1]
+
+    def predict(self, batch: Mapping[str, np.ndarray]) -> dict[str, Any]:
+        """batch: model-keyed arrays with leading batch dim (any size).
+        Returns {"scores": (N, C), "labels": [[genre, ...], ...]}."""
+        n = next(iter(batch.values())).shape[0]
+        scores = []
+        start = 0
+        while start < n:
+            take = min(self._bucket(n - start), n - start)
+            bucket = self._bucket(take)
+            chunk = {k: _pad_to(np.asarray(v[start:start + take]), bucket)
+                     for k, v in batch.items()}
+            out = np.asarray(self._forward(self.variables, chunk))[:take]
+            scores.append(out)
+            start += take
+        scores = np.concatenate(scores) if scores else np.zeros((0, 0))
+        labels = [[self.target_names[i] for i, s in enumerate(row)
+                   if s > self.threshold and i < len(self.target_names)]
+                  for row in scores]
+        return {"scores": scores, "labels": labels}

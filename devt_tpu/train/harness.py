@@ -31,6 +31,7 @@ from devt_tpu.train.callbacks import Callback
 from devt_tpu.train.loggers import JsonlLogger
 from devt_tpu.train.metrics import RunningBuffers
 from devt_tpu.train.optimizers import build_optimizer
+from devt_tpu.train.profiling import StepTimer
 from devt_tpu.train.state import TrainState
 
 
@@ -101,7 +102,7 @@ class Trainer:
                               for cb in self.callbacks)
 
         global_step = int(state.step)
-        t0 = time.perf_counter()
+        timer = StepTimer()
         for epoch in range(cfg.epochs):
             for batch in datamodule.train_batches():
                 placed = self._place(batch)
@@ -112,12 +113,15 @@ class Trainer:
                     for cb in self.callbacks:
                         cb.on_train_batch_end(aux, self.logger, global_step)
                 if global_step % cfg.log_every == 0:
-                    dt = time.perf_counter() - t0
-                    rate = cfg.log_every / max(dt, 1e-9)
-                    self.logger.log({"train/loss": float(metrics["loss"]),
-                                     "epoch": epoch,
-                                     "steps_per_sec": rate}, global_step)
-                    t0 = time.perf_counter()
+                    # the loss readback is the async-safe sync point
+                    timer.mark_step(metrics["loss"])
+                    rec = {"train/loss": float(metrics["loss"]),
+                           "epoch": epoch}
+                    rec.update(timer.summary(
+                        items_per_step=cfg.batch_size * cfg.log_every))
+                    self.logger.log(rec, global_step)
+                else:
+                    timer.mark_step()
                 if 0 < cfg.max_steps <= global_step:
                     break
 

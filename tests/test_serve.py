@@ -1,0 +1,66 @@
+"""Serving: bucketed jit inference + checkpoint loading paths."""
+
+import jax
+import numpy as np
+
+from devt_tpu.config import Config
+from devt_tpu.serve import Predictor
+
+
+def _tiny_cfg():
+    return Config(model="ptn", batch_size=2, seq_len=3, nlayers=1,
+                  input_dimension=32, nhid=32, nhead=2, n_classes=15,
+                  dropout=0.0, precision="f32", attention_impl="xla",
+                  experts=("a", "b"))
+
+
+def _predictor():
+    cfg = _tiny_cfg()
+    from devt_tpu.registry import build_model
+    model = build_model(cfg)
+    x = np.zeros((1, 3, 2, 32), np.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jax.numpy.asarray(x))
+    return Predictor(cfg, variables, buckets=(1, 4))
+
+
+def test_predict_arbitrary_batch_sizes():
+    pred = _predictor()
+    for n in (1, 3, 4, 7):
+        batch = {"experts": np.random.default_rng(n).standard_normal(
+            (n, 3, 2, 32)).astype(np.float32)}
+        out = pred.predict(batch)
+        assert out["scores"].shape == (n, 15)
+        assert len(out["labels"]) == n
+        assert np.all(out["scores"] >= 0) and np.all(out["scores"] <= 1)
+
+
+def test_padding_does_not_change_results():
+    pred = _predictor()
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((3, 3, 2, 32)).astype(np.float32)
+    full = pred.predict({"experts": x})["scores"]
+    singles = np.concatenate([
+        pred.predict({"experts": x[i:i + 1]})["scores"] for i in range(3)])
+    np.testing.assert_allclose(full, singles, atol=1e-5)
+
+
+def test_from_orbax_checkpoint(tmp_path):
+    cfg = _tiny_cfg().replace(checkpoint_dir=str(tmp_path / "ck"))
+    from devt_tpu.registry import build_model
+    from devt_tpu.train import checkpoint as ckpt_lib
+    from devt_tpu.train.optimizers import build_optimizer
+    from devt_tpu.train.state import TrainState
+
+    model = build_model(cfg)
+    x = np.zeros((1, 3, 2, 32), np.float32)
+    variables = dict(model.init({"params": jax.random.PRNGKey(1)},
+                                jax.numpy.asarray(x)))
+    params = variables.pop("params")
+    state = TrainState.create(params, build_optimizer(cfg),
+                              model_state=variables)
+    path = ckpt_lib.save(cfg.checkpoint_dir, state, cfg)
+
+    pred = Predictor.from_checkpoint(cfg, path, buckets=(2,))
+    out = pred.predict({"experts": x})
+    assert out["scores"].shape == (1, 15)
