@@ -82,6 +82,220 @@ def run_bench(batch_size: int = 32, frames: int = 16, image: int = 224,
     }
 
 
+# ---------------------------------------------------------------------------
+# The five BASELINE.json benchmark configs (run with --all; detail JSON is
+# written to BENCH_DETAIL.json next to this file).
+# ---------------------------------------------------------------------------
+
+
+def _sync(x):
+    return float(x if x.ndim == 0 else x.reshape(-1)[0])
+
+
+def bench_single_clip_cpu_fwd() -> dict:
+    """Config 1: single-clip CPU forward, 8x224x224 frames → logits."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from devt_tpu.models.vivit import ViViT
+
+    cpu = jax.devices("cpu")[0]
+    model = ViViT(image_size=224, patch_size=16, num_classes=19,
+                  num_frames=8)
+    clip = jnp.asarray(np.zeros((1, 8, 3, 224, 224), np.float32))
+    with jax.default_device(cpu):
+        variables = model.init(jax.random.PRNGKey(0), clip)
+        fwd = jax.jit(lambda p, c: model.apply({"params": p}, c))
+        _sync(fwd(variables["params"], clip))
+        t0 = time.perf_counter()
+        iters = 5
+        for _ in range(iters):
+            out = fwd(variables["params"], clip)
+        _sync(out)
+        ms = (time.perf_counter() - t0) / iters * 1e3
+    return {"name": "single_clip_cpu_fwd", "value": round(ms, 2),
+            "unit": "ms/clip (CPU)"}
+
+
+def _device_train_bench(model_name: str, batch: dict, batch_size: int,
+                        iters: int = 10, **cfg_kw) -> float:
+    """items/sec for a full train step of a registry model."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from devt_tpu.config import Config
+    from devt_tpu.registry import build_model
+    from devt_tpu.parallel.train_step import make_train_step
+    from devt_tpu.train.harness import Trainer
+    from devt_tpu.train.optimizers import build_optimizer
+    from devt_tpu.train.state import TrainState
+
+    cfg = Config(model=model_name, batch_size=batch_size, opt="adamW",
+                 learning_rate=1e-4, precision="bf16", **cfg_kw)
+    model = build_model(cfg)
+    placed = {k: jnp.asarray(v) for k, v in batch.items()}
+    rngs = {"params": jax.random.PRNGKey(0),
+            "dropout": jax.random.PRNGKey(1)}
+    kwargs = Trainer(cfg)._apply_kwargs(placed)
+    variables = dict(model.init(rngs, **kwargs))
+    params = variables.pop("params")
+    state = TrainState.create(params, build_optimizer(cfg),
+                              model_state=variables)
+    step = make_train_step(model, cfg)
+    rng = jax.random.PRNGKey(2)
+    for _ in range(3):
+        state, metrics = step(state, placed, rng)
+    float(metrics["loss"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, placed, rng)
+    float(metrics["loss"])
+    return batch_size * iters / (time.perf_counter() - t0)
+
+
+def bench_pyramid_inference(batch_size: int = 32) -> dict:
+    """Config 2: batched jit'd pyramid (ViViT) inference, 16-frame clips."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from devt_tpu.models.vivit import ViViT
+
+    model = ViViT(image_size=224, patch_size=16, num_classes=19,
+                  num_frames=16, dtype=jnp.bfloat16)
+    clip = jnp.asarray(np.zeros((batch_size, 16, 3, 224, 224), np.float32),
+                       jnp.bfloat16)
+    variables = model.init(jax.random.PRNGKey(0), clip)
+    fwd = jax.jit(lambda p, c: model.apply({"params": p}, c))
+    _sync(fwd(variables["params"], clip))
+    t0 = time.perf_counter()
+    iters = 20
+    for _ in range(iters):
+        out = fwd(variables["params"], clip)
+    _sync(out)
+    rate = batch_size * iters / (time.perf_counter() - t0)
+    return {"name": "pyramid_inference_b32", "value": round(rate, 1),
+            "unit": "clips/sec/chip"}
+
+
+def bench_two_modality_fusion(batch_size: int = 32) -> dict:
+    """Config 3: two expert streams (video + audio-spectrogram slots)
+    fused through the pyramid transformer, fwd+bwd."""
+    import numpy as np
+
+    from devt_tpu.config import Config
+    from devt_tpu.registry import example_batch
+
+    cfg = Config(model="ptn", batch_size=batch_size, seq_len=13, nlayers=2,
+                 nhid=2048, input_dimension=2048, nhead=8, dropout=0.0,
+                 experts=("video-embeddings", "audio-embeddings"))
+    batch = example_batch(cfg)
+    rate = _device_train_bench(
+        "ptn", batch, batch_size, seq_len=13, nlayers=2, nhid=2048,
+        input_dimension=2048, nhead=8, dropout=0.0,
+        experts=("video-embeddings", "audio-embeddings"))
+    return {"name": "two_modality_fusion_train", "value": round(rate, 1),
+            "unit": "samples/sec/chip"}
+
+
+def bench_distillation_train(batch_size: int = 2) -> dict:
+    """Config 4: multi-modal distillation (teacher video → image student)
+    full train step."""
+    from devt_tpu.config import Config
+    from devt_tpu.registry import example_batch
+
+    cfg = Config(model="distil", batch_size=batch_size, seq_len=4,
+                 frame_len=12, n_classes=19)
+    batch = example_batch(cfg)
+    rate = _device_train_bench("distil", batch, batch_size, seq_len=4,
+                               frame_len=12, n_classes=19, iters=5)
+    return {"name": "distillation_train", "value": round(rate, 2),
+            "unit": "samples/sec/chip"}
+
+
+def bench_e2e_pipeline(tmp_root: str = "/tmp/devt_bench_corpus") -> dict:
+    """Config 5: raw frame decode → augment → train, host overlapped with
+    device steps (vid model over the native decoder)."""
+    import os
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from devt_tpu.config import Config
+    from devt_tpu.data import synthetic
+    from devt_tpu.data.mmx_frame import MMXLightDataset
+    from devt_tpu.data.pipeline import Loader, device_prefetch
+    from devt_tpu.data import manifests
+    from devt_tpu.models.frame_transformer import FrameTransformer
+    from devt_tpu.parallel.train_step import make_train_step
+    from devt_tpu.train.optimizers import build_optimizer
+    from devt_tpu.train.state import TrainState
+
+    if not os.path.exists(os.path.join(tmp_root, "out.csv")):
+        os.makedirs(tmp_root, exist_ok=True)
+        synthetic.write_fake_light_csv(tmp_root, n_movies=16,
+                                       scenes_per_movie=4,
+                                       frames_per_scene=12, size=160)
+    csv_path = os.path.join(tmp_root, "out.csv")
+    cfg = Config(model="vid", batch_size=4, seq_len=4, frame_len=12,
+                 n_classes=19, precision="bf16", opt="adamW",
+                 learning_rate=1e-4)
+    train_df, _ = manifests.load_csv_manifest(csv_path, train_rows=16,
+                                              val_rows=0)
+    ds = MMXLightDataset(train_df, cfg, state="train")
+    loader = Loader(ds, cfg.batch_size, shuffle=True, num_workers=8,
+                    process_index=0, process_count=1)
+
+    model = FrameTransformer(model="vid", seq_len=4, frame_len=12,
+                             n_classes=19, dtype=jnp.bfloat16)
+    first = next(iter(loader))
+    rngs = {"params": jax.random.PRNGKey(0),
+            "dropout": jax.random.PRNGKey(1)}
+    variables = dict(model.init(rngs, img=None,
+                                vid=jnp.asarray(first["vid"]), train=False))
+    params = variables.pop("params")
+    state = TrainState.create(params, build_optimizer(cfg),
+                              model_state=variables)
+    step = make_train_step(model, cfg)
+    rng = jax.random.PRNGKey(2)
+
+    placed0 = {k: jnp.asarray(v) for k, v in first.items()}
+    state, metrics = step(state, placed0, rng)   # compile
+    float(metrics["loss"])
+
+    n = 0
+    t0 = time.perf_counter()
+    for batch in device_prefetch(loader, depth=2):
+        state, metrics = step(state, batch, rng)
+        n += cfg.batch_size
+    float(metrics["loss"])
+    rate = n / (time.perf_counter() - t0)
+    return {"name": "e2e_decode_to_train", "value": round(rate, 2),
+            "unit": "samples/sec (host+device overlapped)"}
+
+
+def run_all() -> list[dict]:
+    results = []
+    for fn in (bench_single_clip_cpu_fwd, bench_pyramid_inference,
+               bench_two_modality_fusion, bench_distillation_train,
+               bench_e2e_pipeline):
+        try:
+            results.append(fn())
+        except Exception as e:  # noqa: BLE001
+            results.append({"name": fn.__name__, "error":
+                            f"{type(e).__name__}: {e}"})
+        print(json.dumps(results[-1]), file=sys.stderr)
+    return results
+
+
 def main():
     try:
         result = run_bench()
@@ -127,6 +341,16 @@ def _watchdog_main(timeout_s: int = 1500) -> int:
 
 
 if __name__ == "__main__":
+    if "--all" in sys.argv:
+        detail = {"north_star": None, "configs": run_all()}
+        try:
+            detail["north_star"] = run_bench()
+        except Exception as e:  # noqa: BLE001
+            detail["north_star"] = {"error": f"{type(e).__name__}: {e}"}
+        with open("BENCH_DETAIL.json", "w") as f:
+            json.dump(detail, f, indent=2)
+        print(json.dumps(detail["north_star"]))
+        sys.exit(0)
     if "--inner" in sys.argv:
         sys.exit(main())
     sys.exit(_watchdog_main())
