@@ -95,7 +95,8 @@ class ViTAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True,
+                 kv_len: int | None = None):
         b, n, _ = x.shape
         inner_dim = self.dim_head * self.heads
         project_out = not (self.heads == 1 and self.dim_head == self.dim)
@@ -106,7 +107,8 @@ class ViTAttention(nn.Module):
         q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
 
         out = scaled_dot_product_attention(
-            q, k, v, scale=self.dim_head ** -0.5, impl=self.attention_impl)
+            q, k, v, scale=self.dim_head ** -0.5, impl=self.attention_impl,
+            kv_len=kv_len)
         out = out.transpose(0, 2, 1, 3).reshape(b, n, inner_dim)
 
         if project_out:
@@ -131,7 +133,8 @@ class ViTTransformer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True,
+                 kv_len: int | None = None):
         for i in range(self.depth):
             h = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype,
                              name=f"attn_norm_{i}")(x)
@@ -139,7 +142,8 @@ class ViTTransformer(nn.Module):
                              dim_head=self.dim_head, dropout=self.dropout,
                              attention_impl=self.attention_impl,
                              dtype=self.dtype, name=f"attn_{i}")(
-                                 h, deterministic=deterministic)
+                                 h, deterministic=deterministic,
+                                 kv_len=kv_len)
             x = x + h
             h = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype,
                              name=f"ff_norm_{i}")(x)

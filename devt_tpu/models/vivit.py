@@ -25,6 +25,22 @@ import jax.numpy as jnp
 from devt_tpu.models.layers import LN_EPS, ViTTransformer
 
 
+def _pad_tokens(x, mult: int):
+    """Zero-pad the token axis of (B, N, D) to a multiple of ``mult``.
+
+    197 patch tokens are a miserable TPU shape — every layer op pays
+    padding/relayout tax.  Padding once up front (with the pad masked out
+    of attention via ``kv_len``) keeps all layer matmuls tile-aligned.
+    Pad rows compute garbage that never contaminates real rows: attention
+    masks them as keys, and LN/FFN/residuals are row-local.
+    """
+    n = x.shape[1]
+    target = ((n + mult - 1) // mult) * mult
+    if target == n:
+        return x, n
+    return jnp.pad(x, ((0, 0), (0, target - n), (0, 0))), n
+
+
 class ViViT(nn.Module):
     image_size: int = 224
     patch_size: int = 16
@@ -40,6 +56,7 @@ class ViViT(nn.Module):
     emb_dropout: float = 0.0
     scale_dim: int = 4
     attention_impl: str = "auto"
+    token_pad: int = 16          # pad token axes to this multiple (0 = off)
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -101,15 +118,25 @@ class ViViT(nn.Module):
         x = x + self.pos_embedding[:, :, : n + 1].astype(self.dtype)
         x = self.emb_drop(x, deterministic=deterministic)
 
-        # Space attention with frames folded into batch (vit.py:118-119).
+        # Space attention with frames folded into batch (vit.py:118-119),
+        # token axis tile-padded (pad masked out of attention).
         x = x.reshape(b * t, n + 1, d)
-        x = self.space_transformer(x, deterministic=deterministic)
+        kv_len = None
+        if self.token_pad:
+            x, kv_len = _pad_tokens(x, self.token_pad)
+        x = self.space_transformer(x, deterministic=deterministic,
+                                   kv_len=kv_len)
         x = x[:, 0].reshape(b, t, d)                    # per-frame CLS
 
         cls_temporal = jnp.broadcast_to(self.temporal_token.astype(self.dtype),
                                         (b, 1, d))
         x = jnp.concatenate([cls_temporal, x], axis=1)  # (b, t+1, d)
-        x = self.temporal_transformer(x, deterministic=deterministic)
+        kv_len = None
+        if self.token_pad:
+            x, kv_len = _pad_tokens(x, self.token_pad)
+        x = self.temporal_transformer(x, deterministic=deterministic,
+                                      kv_len=kv_len)
+        x = x[:, : t + 1]       # drop pad rows before pooling
 
         x = jnp.mean(x, axis=1) if self.pool == "mean" else x[:, 0]
         return self.head(self.head_norm(x))

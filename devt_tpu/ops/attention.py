@@ -28,14 +28,19 @@ def _default_backend_is_tpu() -> bool:
 
 
 def xla_attention(q, k, v, *, scale: float,
+                  kv_len: int | None = None,
                   dropout_rate: float = 0.0, dropout_rng=None):
     """Materialised softmax attention, numerically the reference semantics.
 
     q, k, v: (B, H, S, D).  Scores are accumulated in f32 regardless of the
-    input dtype (so bf16 inputs keep a stable softmax).
+    input dtype (so bf16 inputs keep a stable softmax).  ``kv_len`` masks
+    kv positions beyond the true sequence length (tile-padding support).
     """
     s = jnp.einsum("bhid,bhjd->bhij", q, k,
                    preferred_element_type=jnp.float32) * scale
+    if kv_len is not None and kv_len < k.shape[2]:
+        mask = jnp.arange(k.shape[2]) < kv_len
+        s = jnp.where(mask[None, None, None, :], s, -1e30)
     p = jax.nn.softmax(s, axis=-1)
     if dropout_rate > 0.0 and dropout_rng is not None:
         keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, p.shape)
@@ -45,6 +50,7 @@ def xla_attention(q, k, v, *, scale: float,
 
 def scaled_dot_product_attention(q, k, v, *, scale: float | None = None,
                                  impl: str = "auto",
+                                 kv_len: int | None = None,
                                  dropout_rate: float = 0.0,
                                  dropout_rng=None,
                                  interpret: bool = False):
@@ -60,9 +66,10 @@ def scaled_dot_product_attention(q, k, v, *, scale: float | None = None,
             raise NotImplementedError(
                 "attention-weight dropout is served by the xla impl; "
                 "use impl='xla' or 'auto' when training with attn dropout")
-        return flash_attention(q, k, v, scale=scale, interpret=interpret)
+        return flash_attention(q, k, v, scale=scale, kv_len=kv_len,
+                               interpret=interpret)
     if impl == "xla":
-        return xla_attention(q, k, v, scale=scale,
+        return xla_attention(q, k, v, scale=scale, kv_len=kv_len,
                              dropout_rate=dropout_rate,
                              dropout_rng=dropout_rng)
     raise ValueError(f"unknown attention impl {impl!r}")

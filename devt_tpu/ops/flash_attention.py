@@ -314,22 +314,27 @@ _flash_padded.defvjp(_flash_padded_fwd, _flash_padded_bwd)
 
 
 def flash_attention(q, k, v, *, scale: float | None = None,
+                    kv_len: int | None = None,
                     block_q: int = 128, block_kv: int = 128,
                     interpret: bool = False):
     """Fused softmax attention.  ``q, k, v: (B, H, S, D)`` → ``(B, H, Sq, D)``.
 
     ``scale`` defaults to ``1/sqrt(D)`` with the *unpadded* head dim, matching
     the reference (src/models/vit.py:37, torch MultiheadAttention).
+    ``kv_len``: treat only the first ``kv_len`` kv positions as real (for
+    callers that pre-pad the token axis to tile multiples); defaults to the
+    full kv length.
     """
     b, h, sq, d = q.shape
-    skv = k.shape[2]
+    skv = kv_len if kv_len is not None else k.shape[2]
     if scale is None:
         scale = 1.0 / math.sqrt(d)
 
+    skv_in = k.shape[2]
     block_q = min(block_q, _round_up(sq, _LANES))
-    block_kv = min(block_kv, _round_up(skv, _LANES))
+    block_kv = min(block_kv, _round_up(skv_in, _LANES))
     sq_p = _round_up(sq, block_q)
-    skv_p = _round_up(skv, block_kv)
+    skv_p = _round_up(skv_in, block_kv)
     d_p = _round_up(d, _LANES)
 
     def pad(x, s_p):
