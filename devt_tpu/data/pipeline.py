@@ -34,7 +34,8 @@ def _collate(items: Sequence[dict]) -> dict[str, np.ndarray]:
     out = {}
     for key in items[0]:
         vals = [it[key] for it in items]
-        if isinstance(vals[0], np.ndarray) or np.isscalar(vals[0]):
+        if isinstance(vals[0], np.ndarray) or (
+                np.isscalar(vals[0]) and not isinstance(vals[0], str)):
             out[key] = np.stack(vals)
         else:
             out[key] = vals          # e.g. paths — kept as a list

@@ -54,7 +54,13 @@ def build_datamodule(config: Config):
 
 
 def build_callbacks(config: Config):
-    # dispatch mirrors src/main.py:46-68
+    # dispatch mirrors src/main.py:46-68; the contrastive model gets the
+    # online linear probe (callbacks.py:147-291)
+    if config.model == "contrastive":
+        from devt_tpu.train.callbacks import SSLOnlineEval
+
+        return [SSLOnlineEval(z_dim=config.projection_size,
+                              num_classes=config.n_classes)]
     if config.data_set == "mit":
         return [MITEval()]
     callbacks = [TransformerEval()]

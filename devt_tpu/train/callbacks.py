@@ -44,6 +44,8 @@ class TransformerEval(Callback):
         self.out_dir = out_dir
 
     def on_validation_epoch_end(self, buffers, logger, step):
+        if not len(buffers):
+            return {}
         labels, probs = buffers.concatenated()
         scores = {f"val/online/{k}": v
                   for k, v in M.f1_threshold_sweep(labels, probs).items()}
@@ -58,6 +60,8 @@ class TransformerEval(Callback):
         return scores
 
     def on_test_epoch_end(self, buffers, logger, step):
+        if not len(buffers):
+            return {}
         labels, probs = buffers.concatenated()
         # the reference pickles both buffers on test end (callbacks.py:76-79
         # — it writes labels twice; evident intent, labels + logits)
@@ -77,6 +81,8 @@ class MITEval(Callback):
         self.best_acc = 0.0
 
     def on_validation_epoch_end(self, buffers, logger, step):
+        if not len(buffers):
+            return {}
         labels, probs = buffers.concatenated()
         acc = M.top1_accuracy(labels, probs)
         logger.log({"val/accuracy/epoch": acc}, step)

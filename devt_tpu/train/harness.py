@@ -81,10 +81,19 @@ class Trainer:
             return {"experts": batch["experts"]}
         return {"x": batch["experts"]}
 
+    @staticmethod
+    def _split_host_only(batch):
+        """Non-numeric entries (e.g. paths) stay on the host."""
+        device = {k: v for k, v in batch.items()
+                  if isinstance(v, np.ndarray) and v.dtype.kind in "biuf"}
+        host = {k: v for k, v in batch.items() if k not in device}
+        return device, host
+
     def _place(self, batch):
+        device, _ = self._split_host_only(batch)
         if self.mesh is not None:
-            return shard_batch(batch, self.mesh)
-        return jax.tree_util.tree_map(jax.numpy.asarray, batch)
+            return shard_batch(device, self.mesh)
+        return jax.tree_util.tree_map(jax.numpy.asarray, device)
 
     # ------------------------------------------------------------------
     def fit(self, model, datamodule) -> TrainState:
@@ -115,8 +124,19 @@ class Trainer:
                 if global_step % cfg.log_every == 0:
                     # the loss readback is the async-safe sync point
                     timer.mark_step(metrics["loss"])
-                    rec = {"train/loss": float(metrics["loss"]),
-                           "epoch": epoch}
+                    loss_val = float(metrics["loss"])
+                    if not np.isfinite(loss_val):
+                        # failure detection: a non-finite loss is
+                        # unrecoverable in-flight — surface it immediately
+                        # with the step for checkpoint-based recovery
+                        self.logger.log({"train/loss": loss_val,
+                                         "fatal": "non-finite loss"},
+                                        global_step)
+                        raise FloatingPointError(
+                            f"non-finite loss {loss_val} at step "
+                            f"{global_step}; last checkpoint in "
+                            f"{cfg.checkpoint_dir!r}")
+                    rec = {"train/loss": loss_val, "epoch": epoch}
                     rec.update(timer.summary(
                         items_per_step=cfg.batch_size * cfg.log_every))
                     self.logger.log(rec, global_step)
@@ -145,11 +165,12 @@ class Trainer:
         for batch in datamodule.val_batches():
             loss, aux = eval_step(state, self._place(batch))
             losses.append(float(loss))
+            _, host = self._split_host_only(batch)
             if ssl_cbs:
                 for cb in ssl_cbs:
                     cb.eval_batch(aux, self.buffers)
             else:
-                self.buffers.append(aux)
+                self.buffers.append({**aux, "path": host.get("path")})
         results = {"val/loss": float(np.mean(losses)) if losses else 0.0}
         self.logger.log(results, step)
         for cb in self.callbacks:
@@ -173,7 +194,8 @@ class Trainer:
         for batch in datamodule.test_batches():
             loss, aux = eval_step(state, self._place(batch))
             losses.append(float(loss))
-            self.buffers.append(aux)
+            _, host = self._split_host_only(batch)
+            self.buffers.append({**aux, "path": host.get("path")})
         results = {"test/loss": float(np.mean(losses)) if losses else 0.0}
         for cb in self.callbacks:
             out = cb.on_test_epoch_end(self.buffers, self.logger,

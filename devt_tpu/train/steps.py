@@ -54,8 +54,13 @@ def forward_and_loss(model, config: Config, variables, batch, rng,
 
     if name in ("ptn", "ptn_shared"):
         logits, mut = apply(batch["experts"], deterministic=not train)
-        loss = losses.bce_with_logits(logits, label)
-        return loss, {"probs": jax.nn.sigmoid(logits), "label": label}, mut
+        if label.ndim == 1:    # MIT single-label → CE + top-1 semantics
+            loss = losses.cross_entropy(logits, label)
+            probs = jax.nn.softmax(logits, axis=-1)
+        else:                  # MMX multi-hot → BCE (transformer.py:35)
+            loss = losses.bce_with_logits(logits, label)
+            probs = jax.nn.sigmoid(logits)
+        return loss, {"probs": probs, "label": label}, mut
 
     if name == "lstm":
         logits, mut = apply(batch["experts"], train=train)
