@@ -32,13 +32,14 @@ def run_bench(batch_size: int = 32, frames: int = 16, image: int = 224,
     cfg = Config(model="vivit", batch_size=batch_size, frame_len=frames,
                  n_classes=19, opt="adamW", learning_rate=1e-4,
                  precision="bf16", accum_steps=1)
+    # channels-last clips — the layout the data pipeline emits
     model = ViViT(image_size=image, patch_size=16, num_classes=19,
-                  num_frames=frames, dtype=jnp.bfloat16)
+                  num_frames=frames, dtype=jnp.bfloat16, channels_last=True)
 
     rng = np.random.default_rng(0)
     batch = {
         "vid": jnp.asarray(rng.standard_normal(
-            (batch_size, frames, 3, image, image), dtype=np.float32),
+            (batch_size, frames, image, image, 3), dtype=np.float32),
             jnp.bfloat16),
         "label": jnp.asarray(
             (rng.random((batch_size, 19)) < 0.3).astype(np.float32)),
@@ -169,8 +170,8 @@ def bench_pyramid_inference(batch_size: int = 32) -> dict:
     from devt_tpu.models.vivit import ViViT
 
     model = ViViT(image_size=224, patch_size=16, num_classes=19,
-                  num_frames=16, dtype=jnp.bfloat16)
-    clip = jnp.asarray(np.zeros((batch_size, 16, 3, 224, 224), np.float32),
+                  num_frames=16, dtype=jnp.bfloat16, channels_last=True)
+    clip = jnp.asarray(np.zeros((batch_size, 16, 224, 224, 3), np.float32),
                        jnp.bfloat16)
     variables = model.init(jax.random.PRNGKey(0), clip)
     fwd = jax.jit(lambda p, c: model.apply({"params": p}, c))

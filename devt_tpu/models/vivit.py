@@ -20,6 +20,7 @@ flash kernel on TPU.
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from devt_tpu.models.layers import LN_EPS, ViTTransformer
@@ -41,6 +42,37 @@ def _pad_tokens(x, mult: int):
     return jnp.pad(x, ((0, 0), (0, target - n), (0, 0))), n
 
 
+class PatchEmbed(nn.Module):
+    """Linear patch embedding executed as a strided convolution.
+
+    The parameter keeps the Dense layout ``kernel (p*p*c, dim)`` (feature
+    order p1, p2, c — matching the reference's Rearrange+Linear,
+    vit.py:89-92) so ports/checkpoints are unchanged, but the compute path
+    is ``conv_general_dilated`` with stride = patch — XLA's conv lowering
+    handles the 3-channel input far better than an explicit 7-D transpose
+    (which tiles a last-dim-3 array at ~2% lane efficiency).
+    """
+    patch_size: int
+    in_channels: int
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        """(BT, H, W, C) → (BT, H/p, W/p, dim)."""
+        p, c = self.patch_size, self.in_channels
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (p * p * c, self.dim))
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+        k = kernel.reshape(p, p, c, self.dim).astype(self.dtype)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), k, window_strides=(p, p), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=self.dtype)
+        return y + bias.astype(self.dtype)
+
+
 class ViViT(nn.Module):
     image_size: int = 224
     patch_size: int = 16
@@ -57,6 +89,7 @@ class ViViT(nn.Module):
     scale_dim: int = 4
     attention_impl: str = "auto"
     token_pad: int = 16          # pad token axes to this multiple (0 = off)
+    channels_last: bool = False  # True: input (B,T,H,W,C) — TPU-native
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -66,8 +99,9 @@ class ViViT(nn.Module):
             "Image dimensions must be divisible by the patch size."
         num_patches = (self.image_size // self.patch_size) ** 2
 
-        self.patch_embed = nn.Dense(self.dim, dtype=self.dtype,
-                                    name="patch_embed")
+        self.patch_embed = PatchEmbed(self.patch_size, self.in_channels,
+                                      self.dim, dtype=self.dtype,
+                                      name="patch_embed")
         # (1, num_frames, num_patches + 1, dim) — vit.py:94
         self.pos_embedding = self.param(
             "pos_embedding", nn.initializers.normal(stddev=1.0),
@@ -93,24 +127,15 @@ class ViViT(nn.Module):
                                       name="head_norm")
         self.head = nn.Dense(self.num_classes, dtype=self.dtype, name="head")
 
-    def patchify(self, x):
-        """(B, T, C, H, W) → (B, T, num_patches, patch_dim).
-
-        Equivalent to the reference einops Rearrange
-        ``b t c (h p1) (w p2) -> b t (h w) (p1 p2 c)`` (vit.py:90): one
-        transpose+reshape, fused by XLA into the following matmul's layout.
-        """
-        b, t, c, hh, ww = x.shape
-        p = self.patch_size
-        gh, gw = hh // p, ww // p
-        x = x.reshape(b, t, c, gh, p, gw, p)
-        x = x.transpose(0, 1, 3, 5, 4, 6, 2)          # b t gh gw p1 p2 c
-        return x.reshape(b, t, gh * gw, p * p * c)
-
     def __call__(self, x, deterministic: bool = True):
-        """x: (B, T, C, H, W) video clip → (B, num_classes) logits."""
-        x = self.patch_embed(self.patchify(x.astype(self.dtype)))
-        b, t, n, d = x.shape
+        """x: (B, T, C, H, W) — or (B, T, H, W, C) with ``channels_last``
+        — video clip → (B, num_classes) logits."""
+        if not self.channels_last:
+            x = x.transpose(0, 1, 3, 4, 2)            # → (B, T, H, W, C)
+        b, t = x.shape[:2]
+        x = self.patch_embed(x.reshape((b * t,) + x.shape[2:]))
+        x = x.reshape(b, t, -1, self.dim)
+        n, d = x.shape[2], x.shape[3]
 
         cls_space = jnp.broadcast_to(self.space_token.astype(self.dtype),
                                      (b, t, 1, d))

@@ -331,28 +331,41 @@ def flash_attention(q, k, v, *, scale: float | None = None,
         scale = 1.0 / math.sqrt(d)
 
     skv_in = k.shape[2]
-    block_q = min(block_q, _round_up(sq, _LANES))
-    block_kv = min(block_kv, _round_up(skv_in, _LANES))
+    # The head dim is NEVER padded: Mosaic accepts a block whose last dim
+    # equals the full array dim (it pads lanes internally, for free) —
+    # an HBM-materialised pad to 128 would double q/k/v traffic and add
+    # pad/slice/copy ops around every layer (measured ~40% of the ViViT
+    # train step before this was removed).
+    single_block = (sq == skv_in and _round_up(sq, _LANES) <= 512)
+    if single_block:
+        # sequence only needs the bf16 sublane tile (16); often a no-op
+        # because the models pre-pad tokens to 16 (token_pad)
+        block_q = block_kv = _round_up(sq, 16)
+    else:
+        block_q = min(block_q, _round_up(sq, _LANES))
+        block_kv = min(block_kv, _round_up(skv_in, _LANES))
     sq_p = _round_up(sq, block_q)
     skv_p = _round_up(skv_in, block_kv)
-    d_p = _round_up(d, _LANES)
 
     def pad(x, s_p):
-        return jnp.pad(x, ((0, 0), (0, 0), (0, s_p - x.shape[2]),
-                           (0, d_p - d)))
+        if s_p == x.shape[2]:
+            return x
+        return jnp.pad(x, ((0, 0), (0, 0), (0, s_p - x.shape[2]), (0, 0)))
 
-    qp = pad(q, sq_p).reshape(b * h, sq_p, d_p)
-    kp = pad(k, skv_p).reshape(b * h, skv_p, d_p)
-    vp = pad(v, skv_p).reshape(b * h, skv_p, d_p)
+    qp = pad(q, sq_p).reshape(b * h, sq_p, d)
+    kp = pad(k, skv_p).reshape(b * h, skv_p, d)
+    vp = pad(v, skv_p).reshape(b * h, skv_p, d)
     # Kernels mask kv positions >= the true (unpadded) kv length.
-    if sq_p == skv_p and skv_p <= block_kv:
+    if single_block:
         # short-sequence fast path: whole kv in one block, G heads per
         # grid step, no online-softmax rescaling
         o = _flash_single(qp, kp, vp, scale, skv, interpret)
     else:
         o = _flash_padded(qp, kp, vp, scale, skv, block_q, block_kv,
                           interpret)
-    o = o.reshape(b, h, sq_p, d_p)[:, :, :sq, :d]
+    o = o.reshape(b, h, sq_p, d)
+    if sq_p != sq:
+        o = o[:, :, :sq]
     return o
 
 
@@ -420,13 +433,19 @@ def _bwd_single_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
         preferred_element_type=jnp.float32).astype(dk_ref.dtype)
 
 
-def _pick_group(bh: int, s_p: int, d_p: int, bytes_budget: int = 6 << 20
-                ) -> int:
-    """Largest G dividing bh whose working set fits comfortably in VMEM."""
+def _pick_group(bh: int, s_p: int, d_p: int, bytes_budget: int = 12 << 20,
+                cap: int = 12) -> int:
+    """Largest G dividing bh whose working set fits in VMEM.
+
+    Empirically tuned on v5e for the (256, 128) padded shape the model
+    family hits: the forward kernel compiles fastest at G=12 (G=16 exceeds
+    the 16MB scoped-vmem limit once Mosaic's double buffering is counted);
+    the backward kernel carries twice the buffers (6 inputs + 3 outputs)
+    and tops out at G=6."""
     per_row = (3 * s_p * d_p * 2      # q, k, v bf16-ish
                + 2 * s_p * s_p * 4    # scores + probs f32
                + 2 * s_p * d_p * 4)   # o accum + lse
-    g = max(1, bytes_budget // max(per_row, 1))
+    g = min(cap, max(1, bytes_budget // max(per_row, 1)))
     while g > 1 and bh % g:
         g -= 1
     return int(g)
@@ -454,7 +473,7 @@ def _fwd_single(q, k, v, *, scale, kv_len, interpret):
 
 def _bwd_single(q, k, v, o, lse, do, *, scale, kv_len, interpret):
     bh, s_p, d_p = q.shape
-    g = _pick_group(bh, s_p, d_p)
+    g = _pick_group(bh, s_p, d_p, bytes_budget=6 << 20, cap=6)
     kernel = functools.partial(_bwd_single_kernel, scale=scale, kv_len=kv_len)
     spec = pl.BlockSpec((g, s_p, d_p), lambda b: (b, 0, 0))
     return pl.pallas_call(
