@@ -15,7 +15,7 @@ from typing import Callable, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from devt_tpu.ops.attention import scaled_dot_product_attention
+from devt_tpu.ops.attention import packed_mha, scaled_dot_product_attention
 
 # torch uses eps=1e-5 in LayerNorm; flax defaults to 1e-6.  Parity requires
 # the torch value everywhere a reference module has a LayerNorm.
@@ -103,13 +103,9 @@ class ViTAttention(nn.Module):
 
         qkv = nn.Dense(inner_dim * 3, use_bias=False, dtype=self.dtype,
                        name="to_qkv")(x)
-        qkv = qkv.reshape(b, n, 3, self.heads, self.dim_head)
-        q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
-
-        out = scaled_dot_product_attention(
-            q, k, v, scale=self.dim_head ** -0.5, impl=self.attention_impl,
-            kv_len=kv_len)
-        out = out.transpose(0, 2, 1, 3).reshape(b, n, inner_dim)
+        out = packed_mha(qkv, heads=self.heads,
+                         scale=self.dim_head ** -0.5,
+                         impl=self.attention_impl, kv_len=kv_len)
 
         if project_out:
             out = nn.Dense(self.dim, dtype=self.dtype, name="to_out")(out)

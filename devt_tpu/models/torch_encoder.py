@@ -19,7 +19,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from devt_tpu.models.layers import LN_EPS
-from devt_tpu.ops.attention import scaled_dot_product_attention
+from devt_tpu.ops.attention import packed_mha
 
 
 class TorchMultiheadAttention(nn.Module):
@@ -42,19 +42,16 @@ class TorchMultiheadAttention(nn.Module):
         head_dim = e // self.num_heads
 
         qkv = nn.Dense(3 * e, dtype=self.dtype, name="in_proj")(x)
-        qkv = qkv.reshape(b, s, 3, self.num_heads, head_dim)
-        q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
 
         dropout_rng = None
         use_drop = self.dropout > 0.0 and not deterministic
         if use_drop:
             dropout_rng = self.make_rng("dropout")
-        out = scaled_dot_product_attention(
-            q, k, v, scale=head_dim ** -0.5,
+        out = packed_mha(
+            qkv, heads=self.num_heads, scale=head_dim ** -0.5,
             impl="xla" if use_drop else self.attention_impl,
             dropout_rate=self.dropout if use_drop else 0.0,
             dropout_rng=dropout_rng)
-        out = out.transpose(0, 2, 1, 3).reshape(b, s, e)
         return nn.Dense(e, dtype=self.dtype, name="out_proj")(out)
 
 

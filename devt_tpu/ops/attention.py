@@ -20,7 +20,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from devt_tpu.ops.flash_attention import flash_attention
+from devt_tpu.ops.flash_attention import flash_attention, fused_mha
 
 
 def _default_backend_is_tpu() -> bool:
@@ -73,3 +73,37 @@ def scaled_dot_product_attention(q, k, v, *, scale: float | None = None,
                              dropout_rate=dropout_rate,
                              dropout_rng=dropout_rng)
     raise ValueError(f"unknown attention impl {impl!r}")
+
+
+def packed_mha(qkv, *, heads: int, scale: float | None = None,
+               impl: str = "auto", kv_len: int | None = None,
+               dropout_rate: float = 0.0, dropout_rng=None,
+               interpret: bool = False):
+    """Attention on the packed qkv projection output.
+
+    qkv (B, S, 3*H*D) with feature order (3, H, D) → (B, S, H*D).
+    On TPU this feeds the fused Pallas kernel directly — no head
+    split/merge transposes, no layout copies around the custom call.
+    Elsewhere (or with attention dropout) it splits heads and runs the
+    dispatching path.
+    """
+    b, s, f = qkv.shape
+    d = f // (3 * heads)
+    if scale is None:
+        scale = d ** -0.5
+    use_dropout = dropout_rate > 0.0 and dropout_rng is not None
+    resolved = impl
+    if resolved == "auto":
+        resolved = "pallas" if (_default_backend_is_tpu()
+                                and not use_dropout) else "xla"
+    single_block = ((s + 127) // 128) * 128 <= 512
+    if resolved == "pallas" and single_block and not use_dropout:
+        return fused_mha(qkv, heads=heads, scale=scale, kv_len=kv_len,
+                         interpret=interpret)
+    split = qkv.reshape(b, s, 3, heads, d)
+    q, k, v = (split[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+    out = scaled_dot_product_attention(
+        q, k, v, scale=scale, impl=impl, kv_len=kv_len,
+        dropout_rate=dropout_rate, dropout_rng=dropout_rng,
+        interpret=interpret)
+    return out.transpose(0, 2, 1, 3).reshape(b, s, heads * d)
