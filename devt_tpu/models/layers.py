@@ -113,14 +113,9 @@ class ViTAttention(nn.Module):
         return out
 
 
-class ViTTransformer(nn.Module):
-    """Pre-norm residual transformer with trailing LayerNorm.
-
-    Reference: src/models/vit.py:60-75 — ``x = attn(norm(x)) + x;
-    x = ff(norm(x)) + x`` per layer, then a final norm.
-    """
+class ViTBlock(nn.Module):
+    """One pre-norm layer: x += attn(norm(x)); x += ff(norm(x))."""
     dim: int
-    depth: int
     heads: int
     dim_head: int
     mlp_dim: int
@@ -131,22 +126,50 @@ class ViTTransformer(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True,
                  kv_len: int | None = None):
+        h = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype,
+                         name="attn_norm")(x)
+        h = ViTAttention(self.dim, heads=self.heads, dim_head=self.dim_head,
+                         dropout=self.dropout,
+                         attention_impl=self.attention_impl,
+                         dtype=self.dtype, name="attn")(
+                             h, deterministic, kv_len)
+        x = x + h
+        h = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="ff_norm")(x)
+        h = FeedForward(self.dim, self.mlp_dim, dropout=self.dropout,
+                        dtype=self.dtype, name="ff")(
+                            h, deterministic=deterministic)
+        return x + h
+
+
+class ViTTransformer(nn.Module):
+    """Pre-norm residual transformer with trailing LayerNorm.
+
+    Reference: src/models/vit.py:60-75 — ``x = attn(norm(x)) + x;
+    x = ff(norm(x)) + x`` per layer, then a final norm.
+    ``remat`` rematerialises each block on the backward pass.
+    """
+    dim: int
+    depth: int
+    heads: int
+    dim_head: int
+    mlp_dim: int
+    dropout: float = 0.0
+    attention_impl: str = "auto"
+    remat: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True,
+                 kv_len: int | None = None):
+        block_cls = ViTBlock
+        if self.remat:
+            block_cls = nn.remat(ViTBlock, static_argnums=(2, 3))
         for i in range(self.depth):
-            h = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype,
-                             name=f"attn_norm_{i}")(x)
-            h = ViTAttention(self.dim, heads=self.heads,
-                             dim_head=self.dim_head, dropout=self.dropout,
-                             attention_impl=self.attention_impl,
-                             dtype=self.dtype, name=f"attn_{i}")(
-                                 h, deterministic=deterministic,
-                                 kv_len=kv_len)
-            x = x + h
-            h = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype,
-                             name=f"ff_norm_{i}")(x)
-            h = FeedForward(self.dim, self.mlp_dim, dropout=self.dropout,
-                            dtype=self.dtype, name=f"ff_{i}")(
-                                h, deterministic=deterministic)
-            x = x + h
+            x = block_cls(self.dim, self.heads, self.dim_head, self.mlp_dim,
+                          dropout=self.dropout,
+                          attention_impl=self.attention_impl,
+                          dtype=self.dtype, name=f"block_{i}")(
+                              x, deterministic, kv_len)
         return nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm")(x)
 
 

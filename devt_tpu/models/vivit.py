@@ -90,6 +90,7 @@ class ViViT(nn.Module):
     attention_impl: str = "auto"
     token_pad: int = 16          # pad token axes to this multiple (0 = off)
     channels_last: bool = False  # True: input (B,T,H,W,C) — TPU-native
+    remat: bool = False          # rematerialise blocks on backward
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -115,13 +116,13 @@ class ViViT(nn.Module):
         self.space_transformer = ViTTransformer(
             self.dim, self.depth, self.heads, self.dim_head,
             self.dim * self.scale_dim, dropout=self.dropout,
-            attention_impl=self.attention_impl, dtype=self.dtype,
-            name="space_transformer")
+            attention_impl=self.attention_impl, remat=self.remat,
+            dtype=self.dtype, name="space_transformer")
         self.temporal_transformer = ViTTransformer(
             self.dim, self.depth, self.heads, self.dim_head,
             self.dim * self.scale_dim, dropout=self.dropout,
-            attention_impl=self.attention_impl, dtype=self.dtype,
-            name="temporal_transformer")
+            attention_impl=self.attention_impl, remat=self.remat,
+            dtype=self.dtype, name="temporal_transformer")
         self.emb_drop = nn.Dropout(self.emb_dropout)
         self.head_norm = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype,
                                       name="head_norm")

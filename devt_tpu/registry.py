@@ -59,7 +59,8 @@ def build_model(config: Config) -> nn.Module:
     if name == "vivit":
         return ViViT(num_classes=config.n_classes,
                      num_frames=config.frame_len,
-                     attention_impl=config.attention_impl, dtype=dtype)
+                     attention_impl=config.attention_impl,
+                     remat=config.remat, dtype=dtype)
 
     if name == "tpn":
         return TPN(num_class=config.n_classes, dtype=dtype)

@@ -106,12 +106,14 @@ def vit_transformer(sd: Mapping[str, Any], depth: int,
         attn = {"to_qkv": linear(sd, f"{p}layers.{i}.0.fn.to_qkv")}
         if f"{p}layers.{i}.0.fn.to_out.0.weight" in sd:
             attn["to_out"] = linear(sd, f"{p}layers.{i}.0.fn.to_out.0")
-        params[f"attn_norm_{i}"] = layernorm(sd, f"{p}layers.{i}.0.norm")
-        params[f"attn_{i}"] = attn
-        params[f"ff_norm_{i}"] = layernorm(sd, f"{p}layers.{i}.1.norm")
-        params[f"ff_{i}"] = {
-            "fc1": linear(sd, f"{p}layers.{i}.1.fn.net.0"),
-            "fc2": linear(sd, f"{p}layers.{i}.1.fn.net.3"),
+        params[f"block_{i}"] = {
+            "attn_norm": layernorm(sd, f"{p}layers.{i}.0.norm"),
+            "attn": attn,
+            "ff_norm": layernorm(sd, f"{p}layers.{i}.1.norm"),
+            "ff": {
+                "fc1": linear(sd, f"{p}layers.{i}.1.fn.net.0"),
+                "fc2": linear(sd, f"{p}layers.{i}.1.fn.net.3"),
+            },
         }
     params["norm"] = layernorm(sd, f"{p}norm")
     return params
