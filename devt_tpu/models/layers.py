@@ -16,6 +16,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from devt_tpu.ops.attention import packed_mha, scaled_dot_product_attention
+from devt_tpu.ops.fused_block import fused_vit_block
 
 # torch uses eps=1e-5 in LayerNorm; flax defaults to 1e-6.  Parity requires
 # the torch value everywhere a reference module has a LayerNorm.
@@ -113,8 +114,61 @@ class ViTAttention(nn.Module):
         return out
 
 
+class _LNParams(nn.Module):
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("scale", nn.initializers.ones, (self.dim,)),
+                self.param("bias", nn.initializers.zeros, (self.dim,)))
+
+
+class _DenseParams(nn.Module):
+    in_dim: int
+    out_dim: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (self.in_dim, self.out_dim))
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.out_dim,)) if self.use_bias else None
+        return kernel, bias
+
+
+class _AttnParams(nn.Module):
+    dim: int
+    inner: int
+
+    @nn.compact
+    def __call__(self):
+        wqkv, _ = _DenseParams(self.dim, 3 * self.inner, use_bias=False,
+                               name="to_qkv")()
+        wo, bo = _DenseParams(self.inner, self.dim, name="to_out")()
+        return wqkv, wo, bo
+
+
+class _FFParams(nn.Module):
+    dim: int
+    mlp_dim: int
+
+    @nn.compact
+    def __call__(self):
+        w1, b1 = _DenseParams(self.dim, self.mlp_dim, name="fc1")()
+        w2, b2 = _DenseParams(self.mlp_dim, self.dim, name="fc2")()
+        return w1, b1, w2, b2
+
+
 class ViTBlock(nn.Module):
-    """One pre-norm layer: x += attn(norm(x)); x += ff(norm(x))."""
+    """One pre-norm layer: x += attn(norm(x)); x += ff(norm(x)).
+
+    On TPU (no dropout, single-kv-block sequence, inner_dim == dim) the
+    whole block runs as ONE fused Pallas kernel per pass
+    (devt_tpu/ops/fused_block.py) — every intermediate stays in VMEM.
+    The parameter tree is identical in both paths, so checkpoints are
+    interchangeable.
+    """
     dim: int
     heads: int
     dim_head: int
@@ -123,9 +177,44 @@ class ViTBlock(nn.Module):
     attention_impl: str = "auto"
     dtype: jnp.dtype = jnp.float32
 
+    def _fused_eligible(self, x, deterministic) -> bool:
+        import jax as _jax
+
+        if self.attention_impl == "xla":
+            return False
+        if self.dropout > 0.0 and not deterministic:
+            return False
+        if self.heads * self.dim_head != self.dim:
+            return False
+        if ((x.shape[1] + 127) // 128) * 128 > 512 or x.shape[1] % 16:
+            return False
+        return (_jax.default_backend() == "tpu"
+                or self.attention_impl == "fused_interpret")
+
     @nn.compact
     def __call__(self, x, deterministic: bool = True,
                  kv_len: int | None = None):
+        if self._fused_eligible(x, deterministic):
+            g1, b1 = _LNParams(self.dim, name="attn_norm")()
+            wqkv, wo, bo = _AttnParams(self.dim, self.heads * self.dim_head,
+                                       name="attn")()
+            g2, b2 = _LNParams(self.dim, name="ff_norm")()
+            w1, bb1, w2, bb2 = _FFParams(self.dim, self.mlp_dim, name="ff")()
+            cast = self.dtype
+            params = {
+                "g1": g1.reshape(1, -1), "b1": b1.reshape(1, -1),
+                "wqkv": wqkv.astype(cast), "wo": wo.astype(cast),
+                "bo": bo.reshape(1, -1),
+                "g2": g2.reshape(1, -1), "b2": b2.reshape(1, -1),
+                "w1": w1.astype(cast), "bb1": bb1.reshape(1, -1),
+                "w2": w2.astype(cast), "bb2": bb2.reshape(1, -1),
+            }
+            return fused_vit_block(
+                x.astype(cast), params, self.heads,
+                self.dim_head ** -0.5,
+                kv_len if kv_len is not None else x.shape[1],
+                self.attention_impl == "fused_interpret")
+
         h = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype,
                          name="attn_norm")(x)
         h = ViTAttention(self.dim, heads=self.heads, dim_head=self.dim_head,

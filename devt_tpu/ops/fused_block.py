@@ -1,0 +1,401 @@
+"""Fully-fused pre-norm ViT block: one Pallas kernel per pass.
+
+The ViViT space transformer is the bench-critical compute
+(reference architecture: src/models/vit.py:60-75).  Unfused, every
+sub-op round-trips activations through HBM (LN stats, qkv, attention
+out, FFN hidden — trace-measured at ~2/3 of step time beyond the raw
+matmul FLOPs).  This kernel runs the whole block per G-sequence tile
+with every intermediate resident in VMEM:
+
+    a   = LN1(x)                      (γ1, β1; f32 stats)
+    qkv = a @ Wqkv                    (bias-free, reference to_qkv)
+    att = MHA(qkv)                    (per-head lane slices, kv-len mask)
+    u   = x + att @ Wo + bo
+    b   = LN2(u)
+    y   = u + gelu(b @ W1 + b1) @ W2 + b2     (exact erf gelu)
+
+The backward kernel recomputes the forward from (x, lse) in VMEM and
+emits dx plus every parameter gradient; dW/db accumulate across the
+sequential TPU grid via constant-index output blocks (initialised at
+step 0, written back once at the last step).
+
+Single-kv-block sequences only (S ≤ 512 — every model in this family).
+Dropout is not supported here; training with dropout>0 uses the unfused
+path (the reference ViT defaults to dropout 0, vit.py:80).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+_LANES = 128
+LN_EPS = 1e-5
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _ln(x32, gamma, beta):
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean((x32 - mu) ** 2, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + LN_EPS)
+    xhat = (x32 - mu) * rstd
+    return xhat * gamma + beta, xhat, rstd
+
+
+def _gelu(z32):
+    return 0.5 * z32 * (1.0 + jax.lax.erf(z32 / math.sqrt(2.0)))
+
+
+def _dgelu(z32):
+    cdf = 0.5 * (1.0 + jax.lax.erf(z32 / math.sqrt(2.0)))
+    pdf = jnp.exp(-0.5 * z32 * z32) / math.sqrt(2.0 * math.pi)
+    return cdf + z32 * pdf
+
+
+def _mha_fwd(qkv, heads, d, scale, kv_len, dtype):
+    """In-VMEM attention.  qkv (G, S, 3HD) f32-accum → (att (G,S,HD) f32,
+    lse (G,S,H) f32)."""
+    outs = []
+    lses = []
+    for i in range(heads):
+        q = qkv[:, :, i * d:(i + 1) * d]
+        k = qkv[:, :, (heads + i) * d:(heads + i + 1) * d]
+        v = qkv[:, :, (2 * heads + i) * d:(2 * heads + i + 1) * d]
+        s = jax.lax.dot_general(
+            q.astype(dtype), k.astype(dtype), (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+        s = jnp.where(col < kv_len, s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            (p / l).astype(dtype), v.astype(dtype),
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        outs.append(o)
+        lses.append(m + jnp.log(l))
+    return jnp.concatenate(outs, axis=-1), jnp.concatenate(lses, axis=-1)
+
+
+def _mha_bwd(qkv, lse, datt, heads, d, scale, kv_len, dtype):
+    """Gradient wrt packed qkv, recomputing p from lse."""
+    dparts_q, dparts_k, dparts_v = [], [], []
+    for i in range(heads):
+        q = qkv[:, :, i * d:(i + 1) * d].astype(dtype)
+        k = qkv[:, :, (heads + i) * d:(heads + i + 1) * d].astype(dtype)
+        v = qkv[:, :, (2 * heads + i) * d:(2 * heads + i + 1) * d].astype(dtype)
+        do = datt[:, :, i * d:(i + 1) * d]
+        l_i = lse[:, :, i:i + 1]
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+        s = jnp.where(col < kv_len, s, NEG_INF)
+        p = jnp.exp(s - l_i)
+        o = jax.lax.dot_general(
+            p.astype(dtype), v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        delta = jnp.sum(do * o, axis=-1, keepdims=True)
+        dv = jax.lax.dot_general(
+            p.astype(dtype), do.astype(dtype), (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(
+            do.astype(dtype), v, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        ds = p * (dp - delta) * scale
+        dq = jax.lax.dot_general(
+            ds.astype(dtype), k, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        dk = jax.lax.dot_general(
+            ds.astype(dtype), q, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        dparts_q.append(dq)
+        dparts_k.append(dk)
+        dparts_v.append(dv)
+    return jnp.concatenate(dparts_q + dparts_k + dparts_v, axis=-1)
+
+
+def _ln_bwd(dy_hat, xhat, rstd):
+    """d/dx of LN given upstream-through-scale grad (dy*γ), per row."""
+    m1 = jnp.mean(dy_hat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dy_hat * xhat, axis=-1, keepdims=True)
+    return rstd * (dy_hat - m1 - xhat * m2)
+
+
+# ---------------------------------------------------------------------------
+# forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, wo_ref, bo_ref,
+                g2_ref, b2_ref, w1_ref, bb1_ref, w2_ref, bb2_ref,
+                y_ref, u_ref, lse_ref,
+                *, heads: int, d: int, scale: float, kv_len: int):
+    dtype = x_ref.dtype
+    x = x_ref[...].astype(jnp.float32)                       # (G, S, D)
+    a, _, _ = _ln(x, g1_ref[0].astype(jnp.float32),
+                  b1_ref[0].astype(jnp.float32))
+    qkv = jax.lax.dot_general(
+        a.astype(dtype), wqkv_ref[...].astype(dtype),
+        (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    att, lse = _mha_fwd(qkv, heads, d, scale, kv_len, dtype)
+    o = jax.lax.dot_general(
+        att.astype(dtype), wo_ref[...].astype(dtype),
+        (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    u = x + o + bo_ref[0].astype(jnp.float32)
+    b, _, _ = _ln(u, g2_ref[0].astype(jnp.float32),
+                  b2_ref[0].astype(jnp.float32))
+    z1 = jax.lax.dot_general(
+        b.astype(dtype), w1_ref[...].astype(dtype),
+        (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32) \
+        + bb1_ref[0].astype(jnp.float32)
+    h = _gelu(z1)
+    y = u + jax.lax.dot_general(
+        h.astype(dtype), w2_ref[...].astype(dtype),
+        (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32) \
+        + bb2_ref[0].astype(jnp.float32)
+    y_ref[...] = y.astype(y_ref.dtype)
+    u_ref[...] = u.astype(u_ref.dtype)
+    lse_ref[...] = jnp.pad(lse, ((0, 0), (0, 0),
+                                 (0, lse_ref.shape[-1] - heads)))
+
+
+# ---------------------------------------------------------------------------
+# backward kernel — recomputes forward, accumulates param grads over grid
+# ---------------------------------------------------------------------------
+
+
+def _bwd_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, wo_ref, bo_ref,
+                g2_ref, b2_ref, w1_ref, bb1_ref, w2_ref, bb2_ref,
+                u_ref, lse_ref, dy_ref,
+                dx_ref, dg1_ref, db1_ref, dwqkv_ref, dwo_ref, dbo_ref,
+                dg2_ref, db2_ref, dw1_ref, dbb1_ref, dw2_ref, dbb2_ref,
+                *, heads: int, d: int, scale: float, kv_len: int):
+    step = pl.program_id(0)
+    n_steps = pl.num_programs(0)
+    dtype = x_ref.dtype
+
+    @pl.when(step == 0)
+    def _init():
+        for ref in (dg1_ref, db1_ref, dwqkv_ref, dwo_ref, dbo_ref,
+                    dg2_ref, db2_ref, dw1_ref, dbb1_ref, dw2_ref, dbb2_ref):
+            ref[...] = jnp.zeros_like(ref)
+
+    x = x_ref[...].astype(jnp.float32)
+    u = u_ref[...].astype(jnp.float32)
+    dy = dy_ref[...].astype(jnp.float32)
+    lse = lse_ref[...][:, :, :heads]
+    g1 = g1_ref[0].astype(jnp.float32)
+    g2 = g2_ref[0].astype(jnp.float32)
+
+    # --- recompute forward pieces ---
+    a, xhat1, rstd1 = _ln(x, g1, b1_ref[0].astype(jnp.float32))
+    qkv = jax.lax.dot_general(
+        a.astype(dtype), wqkv_ref[...].astype(dtype),
+        (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    att, _ = _mha_fwd(qkv, heads, d, scale, kv_len, dtype)
+    b, xhat2, rstd2 = _ln(u, g2, b2_ref[0].astype(jnp.float32))
+    z1 = jax.lax.dot_general(
+        b.astype(dtype), w1_ref[...].astype(dtype),
+        (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32) \
+        + bb1_ref[0].astype(jnp.float32)
+    h = _gelu(z1)
+
+    def flat(t):  # (G, S, F) → (G*S, F) for the weight-grad contractions
+        return t.reshape(-1, t.shape[-1])
+
+    # --- FFN backward ---
+    dh = jax.lax.dot_general(
+        dy.astype(dtype), w2_ref[...].astype(dtype),
+        (((2,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    dw2_ref[...] += jax.lax.dot_general(
+        flat(h).astype(dtype), flat(dy).astype(dtype),
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dbb2_ref[...] += jnp.sum(dy, axis=(0, 1))[None, :]
+    dz1 = dh * _dgelu(z1)
+    dw1_ref[...] += jax.lax.dot_general(
+        flat(b).astype(dtype), flat(dz1).astype(dtype),
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dbb1_ref[...] += jnp.sum(dz1, axis=(0, 1))[None, :]
+    db = jax.lax.dot_general(
+        dz1.astype(dtype), w1_ref[...].astype(dtype),
+        (((2,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+
+    # --- LN2 backward ---
+    dg2_ref[...] += jnp.sum(db * xhat2, axis=(0, 1))[None, :]
+    db2_ref[...] += jnp.sum(db, axis=(0, 1))[None, :]
+    du = dy + _ln_bwd(db * g2, xhat2, rstd2)
+
+    # --- attention out-proj backward ---
+    datt = jax.lax.dot_general(
+        du.astype(dtype), wo_ref[...].astype(dtype),
+        (((2,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    dwo_ref[...] += jax.lax.dot_general(
+        flat(att).astype(dtype), flat(du).astype(dtype),
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dbo_ref[...] += jnp.sum(du, axis=(0, 1))[None, :]
+
+    # --- attention core backward ---
+    dqkv = _mha_bwd(qkv, lse, datt, heads, d, scale, kv_len, dtype)
+
+    # --- qkv projection + LN1 backward ---
+    da = jax.lax.dot_general(
+        dqkv.astype(dtype), wqkv_ref[...].astype(dtype),
+        (((2,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    dwqkv_ref[...] += jax.lax.dot_general(
+        flat(a).astype(dtype), flat(dqkv).astype(dtype),
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dg1_ref[...] += jnp.sum(da * xhat1, axis=(0, 1))[None, :]
+    db1_ref[...] += jnp.sum(da, axis=(0, 1))[None, :]
+    dx = du + _ln_bwd(da * g1, xhat1, rstd1)
+    dx_ref[...] = dx.astype(dx_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# pallas_call wrappers + custom VJP
+# ---------------------------------------------------------------------------
+
+
+def _row_spec(g, s, f):
+    return pl.BlockSpec((g, s, f), lambda i: (i, 0, 0))
+
+
+def _param_spec(shape):
+    nd = len(shape)
+    return pl.BlockSpec(shape, (lambda i: (0,) * nd))
+
+
+def _group(b: int, s: int, dim: int, mlp: int, bwd: bool) -> int:
+    per_row = (s * dim * 4 * (8 if bwd else 4)
+               + s * s * 4 * 2
+               + s * mlp * 4 * (3 if bwd else 2))
+    budget = (6 if bwd else 8) << 20
+    g = min(4 if bwd else 8, max(1, budget // per_row))
+    while g > 1 and b % g:
+        g -= 1
+    return int(g)
+
+
+def _params_tuple(params):
+    return (params["g1"], params["b1"], params["wqkv"], params["wo"],
+            params["bo"], params["g2"], params["b2"], params["w1"],
+            params["bb1"], params["w2"], params["bb2"])
+
+
+def _param_specs(params):
+    return [_param_spec(p.shape) for p in _params_tuple(params)]
+
+
+def _fwd_call(x, params, *, heads, scale, kv_len, interpret):
+    bsz, s, dim = x.shape
+    d = dim // heads
+    mlp = params["w1"].shape[1]
+    g = _group(bsz, s, dim, mlp, bwd=False)
+    lse_lanes = _round_up(heads, _LANES)
+    kernel = functools.partial(_fwd_kernel, heads=heads, d=d, scale=scale,
+                               kv_len=kv_len)
+    return pl.pallas_call(
+        kernel,
+        grid=(bsz // g,),
+        in_specs=[_row_spec(g, s, dim)] + _param_specs(params),
+        out_specs=(
+            _row_spec(g, s, dim),
+            _row_spec(g, s, dim),
+            _row_spec(g, s, lse_lanes),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(x.shape, x.dtype),
+            jax.ShapeDtypeStruct(x.shape, x.dtype),
+            jax.ShapeDtypeStruct((bsz, s, lse_lanes), jnp.float32),
+        ),
+        interpret=interpret,
+    )(x, *_params_tuple(params))
+
+
+def _bwd_call(x, params, u, lse, dy, *, heads, scale, kv_len, interpret):
+    bsz, s, dim = x.shape
+    d = dim // heads
+    mlp = params["w1"].shape[1]
+    g = _group(bsz, s, dim, mlp, bwd=True)
+    kernel = functools.partial(_bwd_kernel, heads=heads, d=d, scale=scale,
+                               kv_len=kv_len)
+    pt = _params_tuple(params)
+    grad_shapes = tuple(
+        jax.ShapeDtypeStruct(p.shape if p.ndim == 2 else (1, p.shape[-1]),
+                             jnp.float32) for p in pt)
+    grad_specs = tuple(
+        _param_spec(sh.shape) for sh in grad_shapes)
+    lse_lanes = lse.shape[-1]
+    out = pl.pallas_call(
+        kernel,
+        grid=(bsz // g,),
+        in_specs=[_row_spec(g, s, dim)] + _param_specs(params)
+        + [_row_spec(g, s, dim), _row_spec(g, s, lse_lanes),
+           _row_spec(g, s, dim)],
+        out_specs=(_row_spec(g, s, dim),) + grad_specs,
+        out_shape=(jax.ShapeDtypeStruct(x.shape, x.dtype),) + grad_shapes,
+        interpret=interpret,
+    )(x, *pt, u, lse, dy)
+    dx, *dparams = out
+    names = ("g1", "b1", "wqkv", "wo", "bo", "g2", "b2", "w1", "bb1",
+             "w2", "bb2")
+    grads = {}
+    for name, p, dp in zip(names, pt, dparams):
+        dp = dp if p.ndim == 2 else dp[0]
+        grads[name] = dp.astype(p.dtype)
+    return dx, grads
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def fused_vit_block(x, params, heads, scale, kv_len, interpret=False):
+    """One fused pre-norm ViT block.  x (B, S, D); params dict with
+    g1/b1/wqkv/wo/bo/g2/b2/w1/bb1/w2/bb2.  S must be the (single) kv block;
+    ``kv_len`` masks tile padding."""
+    y, _, _ = _fwd_call(x, params, heads=heads, scale=scale, kv_len=kv_len,
+                        interpret=interpret)
+    return y
+
+
+def _fused_fwd(x, params, heads, scale, kv_len, interpret):
+    y, u, lse = _fwd_call(x, params, heads=heads, scale=scale,
+                          kv_len=kv_len, interpret=interpret)
+    return y, (x, params, u, lse)
+
+
+def _fused_bwd(heads, scale, kv_len, interpret, res, dy):
+    x, params, u, lse = res
+    dx, grads = _bwd_call(x, params, u, lse, dy, heads=heads, scale=scale,
+                          kv_len=kv_len, interpret=interpret)
+    return dx, grads
+
+
+fused_vit_block.defvjp(_fused_fwd, _fused_bwd)
+
+
+def reference_vit_block(x, params, heads, scale, kv_len):
+    """Unfused reference implementation (testing / non-TPU fallback)."""
+    x32 = x.astype(jnp.float32)
+    a, _, _ = _ln(x32, params["g1"].astype(jnp.float32),
+                  params["b1"].astype(jnp.float32))
+    qkv = (a @ params["wqkv"].astype(jnp.float32))
+    d = x.shape[-1] // heads
+    att, _ = _mha_fwd(qkv, heads, d, scale, kv_len, jnp.float32)
+    u = x32 + att @ params["wo"].astype(jnp.float32) \
+        + params["bo"].astype(jnp.float32)
+    b, _, _ = _ln(u, params["g2"].astype(jnp.float32),
+                  params["b2"].astype(jnp.float32))
+    h = _gelu(b @ params["w1"].astype(jnp.float32)
+              + params["bb1"].astype(jnp.float32))
+    y = u + h @ params["w2"].astype(jnp.float32) \
+        + params["bb2"].astype(jnp.float32)
+    return y.astype(x.dtype)
