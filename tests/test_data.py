@@ -228,3 +228,22 @@ def test_pad_to_width():
     x = np.ones((2, 512), np.float32)
     p = transforms.pad_to_width(x, 2048)
     assert p.shape == (2, 2048) and p[:, 512:].sum() == 0
+
+
+def test_grain_adapter_shards_and_batches():
+    from devt_tpu.data import grain_adapter
+
+    if not grain_adapter.available():
+        import pytest
+
+        pytest.skip("grain not installed")
+    seen = []
+    for rank in range(2):
+        loader = grain_adapter.make_grain_loader(
+            _Range(16), 4, shuffle=True, seed=3, process_index=rank,
+            process_count=2)
+        idxs = [int(i) for b in loader for i in b["idx"]]
+        assert len(idxs) == 8
+        seen.append(set(idxs))
+    assert not (seen[0] & seen[1])          # disjoint host shards
+    assert len(seen[0] | seen[1]) == 16     # full coverage
