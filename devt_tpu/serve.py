@@ -80,8 +80,7 @@ class Predictor:
         batch = {k: jnp.asarray(v)
                  for k, v in example_batch(config, batch_size=1).items()
                  if k != "label"}
-        pred = cls.__new__(cls)
-        # init abstract state to restore into
+        # init a state with the right tree to restore into
         rngs = {"params": jax.random.PRNGKey(0)}
         from devt_tpu.train.harness import Trainer
 
