@@ -51,12 +51,24 @@ def _ln(x32, gamma, beta):
     return xhat * gamma + beta, xhat, rstd
 
 
+def _erf(x):
+    """erf via Abramowitz–Stegun 7.1.26 (max abs err 1.5e-7) — Mosaic has
+    no erf primitive; this stays inside the fused parity tolerance."""
+    a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
+    a4, a5, p = -1.453152027, 1.061405429, 0.3275911
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+
+
 def _gelu(z32):
-    return 0.5 * z32 * (1.0 + jax.lax.erf(z32 / math.sqrt(2.0)))
+    return 0.5 * z32 * (1.0 + _erf(z32 / math.sqrt(2.0)))
 
 
 def _dgelu(z32):
-    cdf = 0.5 * (1.0 + jax.lax.erf(z32 / math.sqrt(2.0)))
+    cdf = 0.5 * (1.0 + _erf(z32 / math.sqrt(2.0)))
     pdf = jnp.exp(-0.5 * z32 * z32) / math.sqrt(2.0 * math.pi)
     return cdf + z32 * pdf
 
