@@ -34,6 +34,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# v5e has far more physical VMEM than the compiler's 16MB default scoped
+# limit; raising it per-kernel lets larger sequence groups pipeline.
+_VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
 NEG_INF = -1e30
 _LANES = 128
 LN_EPS = 1e-5
@@ -288,10 +292,13 @@ def _param_spec(shape):
 
 
 def _group(b: int, s: int, dim: int, mlp: int, bwd: bool) -> int:
+    """Empirically tuned on v5e at (512, 208, 192, mlp 768) with the
+    raised per-kernel vmem limit: forward fastest at G=8, backward at
+    G=4 (larger groups lose pipelining; smaller lose MXU occupancy)."""
     per_row = (s * dim * 4 * (8 if bwd else 4)
                + s * s * 4 * 2
                + s * mlp * 4 * (3 if bwd else 2))
-    budget = (6 if bwd else 8) << 20
+    budget = (16 if bwd else 20) << 20
     g = min(4 if bwd else 8, max(1, budget // per_row))
     while g > 1 and b % g:
         g -= 1
@@ -330,6 +337,7 @@ def _fwd_call(x, params, *, heads, scale, kv_len, interpret):
             jax.ShapeDtypeStruct(x.shape, x.dtype),
             jax.ShapeDtypeStruct((bsz, s, lse_lanes), jnp.float32),
         ),
+        compiler_params=None if interpret else _VMEM_LIMIT,
         interpret=interpret,
     )(x, *_params_tuple(params))
 
@@ -356,6 +364,7 @@ def _bwd_call(x, params, u, lse, dy, *, heads, scale, kv_len, interpret):
            _row_spec(g, s, dim)],
         out_specs=(_row_spec(g, s, dim),) + grad_specs,
         out_shape=(jax.ShapeDtypeStruct(x.shape, x.dtype),) + grad_shapes,
+        compiler_params=None if interpret else _VMEM_LIMIT,
         interpret=interpret,
     )(x, *pt, u, lse, dy)
     dx, *dparams = out
