@@ -104,8 +104,9 @@ def bench_single_clip_cpu_fwd() -> dict:
     from devt_tpu.models.vivit import ViViT
 
     cpu = jax.devices("cpu")[0]
+    # xla attention: Mosaic kernels cannot execute on the CPU device
     model = ViViT(image_size=224, patch_size=16, num_classes=19,
-                  num_frames=8)
+                  num_frames=8, attention_impl="xla")
     clip = jnp.asarray(np.zeros((1, 8, 3, 224, 224), np.float32))
     with jax.default_device(cpu):
         variables = model.init(jax.random.PRNGKey(0), clip)
