@@ -103,16 +103,27 @@ class Loader:
 
         # overlapped assembly: a bounded queue of ready batches.  A worker
         # exception is forwarded to the consumer (never a silent hang).
+        # Submission is windowed — at most prefetch+num_workers futures in
+        # flight, each dropped after hand-off — so host memory is bounded
+        # by the queue, not the epoch length.
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = object()
+        window = self.prefetch + self.num_workers
 
         def producer():
             try:
+                from collections import deque
+
                 with ThreadPoolExecutor(self.num_workers) as pool:
-                    futures = [pool.submit(assemble, b)
-                               for b in range(n_batches)]
-                    for fut in futures:
-                        q.put(fut.result())
+                    inflight: deque = deque()
+                    for b in range(min(window, n_batches)):
+                        inflight.append(pool.submit(assemble, b))
+                    next_b = len(inflight)
+                    while inflight:
+                        q.put(inflight.popleft().result())
+                        if next_b < n_batches:
+                            inflight.append(pool.submit(assemble, next_b))
+                            next_b += 1
                 q.put(stop)
             except BaseException as e:  # noqa: BLE001 — forwarded
                 q.put(e)

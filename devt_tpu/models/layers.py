@@ -186,6 +186,12 @@ class ViTBlock(nn.Module):
             return False
         if self.heads * self.dim_head != self.dim:
             return False
+        # the reference's project_out rule skips attn/to_out when
+        # heads==1 and dim_head==dim (src/models/vit.py:34); the fused
+        # path always applies to_out, so that edge config must stay on
+        # the unfused path to keep the parameter tree interchangeable.
+        if self.heads == 1 and self.dim_head == self.dim:
+            return False
         if ((x.shape[1] + 127) // 128) * 128 > 512 or x.shape[1] % 16:
             return False
         return (_jax.default_backend() == "tpu"

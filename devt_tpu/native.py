@@ -37,7 +37,10 @@ def _load():
     global _lib, _load_failed
     if _lib is not None or _load_failed:
         return _lib
-    if not os.path.exists(_LIB_PATH) and not _build():
+    # Always run make (no-op when the .so is newer than the sources) so a
+    # stale or foreign binary never shadows the audited devt_host.cpp; only
+    # fall back to a pre-existing .so when no toolchain is present.
+    if not _build() and not os.path.exists(_LIB_PATH):
         _load_failed = True
         return None
     try:

@@ -57,22 +57,28 @@ def make_train_step(model, config: Config) -> Callable:
         else:
             micro = _split_microbatches(batch, accum)
 
+            scalar_keys = ("base_loss", "distil_loss", "cossim")
+
             def body(carry, mb_rng):
                 grads_acc, loss_acc, ms = carry
                 mb, r = mb_rng
-                (l, (_, new_ms)), g = grad_fn(state.params, ms, mb, r)
+                (l, (a, new_ms)), g = grad_fn(state.params, ms, mb, r)
                 grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, g)
-                return (grads_acc, loss_acc + l, new_ms), None
+                ys = {k: a[k] for k in scalar_keys if k in a}
+                return (grads_acc, loss_acc + l, new_ms), ys
 
             zero_grads = jax.tree_util.tree_map(
                 lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
             rngs = jax.random.split(rng, accum)
-            (grads, loss, new_ms), _ = jax.lax.scan(
+            (grads, loss, new_ms), stacked_aux = jax.lax.scan(
                 body, (zero_grads, jnp.float32(0.0), state.model_state),
                 (micro, rngs))
             grads = jax.tree_util.tree_map(lambda g: g / accum, grads)
             loss = loss / accum
-            aux = {}
+            # per-model scalar diagnostics survive accumulation as the
+            # microbatch mean (ADVICE r1: they used to vanish exactly in
+            # the large-batch configs that need accumulation)
+            aux = {k: jnp.mean(v) for k, v in stacked_aux.items()}
 
         new_state = state.apply_gradients(grads, new_ms)
         metrics = {"loss": loss}

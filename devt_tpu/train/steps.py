@@ -42,13 +42,14 @@ def forward_and_loss(model, config: Config, variables, batch, rng,
     mutable = [k for k in variables if k != "params"] if (train and has_bn) \
         else False
 
-    def apply(*args, **kwargs):
-        out = model.apply(variables, *args, rngs=rngs, mutable=mutable,
-                          **kwargs)
+    def apply(*args, _variables=None, _rng=None, **kwargs):
+        vs = variables if _variables is None else _variables
+        r = {"dropout": _rng} if _rng is not None else rngs
+        out = model.apply(vs, *args, rngs=r, mutable=mutable, **kwargs)
         if mutable:
             y, mut = out
             return y, dict(mut)
-        return out, {k: v for k, v in variables.items() if k != "params"}
+        return out, {k: v for k, v in vs.items() if k != "params"}
 
     label = batch["label"]
 
@@ -105,8 +106,14 @@ def forward_and_loss(model, config: Config, variables, batch, rng,
         return loss, {"probs": probs, "label": label}, mut
 
     if name == "contrastive":
-        (emb_i, proj_i), mut = apply(batch["x_i"], train=train)
-        (emb_j, proj_j), _ = apply(batch["x_j"], train=train)
+        # distinct dropout masks per augmented view, and view j's forward
+        # sees (and returns) the BatchNorm stats mutated by view i — the
+        # sequential-two-pass semantics of the reference's training_step
+        # (src/models/contrastivemodel.py:143-164).
+        rng_i, rng_j = (jax.random.split(rng) if train else (None, None))
+        (emb_i, proj_i), mut = apply(batch["x_i"], train=train, _rng=rng_i)
+        (emb_j, proj_j), mut = apply(batch["x_j"], train=train, _rng=rng_j,
+                                     _variables={**variables, **mut})
         z_i = l2_normalize(proj_i)
         z_j = l2_normalize(proj_j)
         loss = losses.contrastive_loss(z_i, z_j,
