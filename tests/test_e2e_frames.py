@@ -12,6 +12,9 @@ from devt_tpu.models.frame_transformer import FrameTransformer
 from devt_tpu.train.callbacks import TransformerEval
 from devt_tpu.train.harness import Trainer
 from devt_tpu.train.loggers import JsonlLogger
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 class _TinyLightModule(MMXLightDataModule):

@@ -8,6 +8,9 @@ from devt_tpu.data.synthetic import SyntheticDataModule
 from devt_tpu.registry import build_model
 from devt_tpu.train.harness import Trainer
 from devt_tpu.train.loggers import JsonlLogger
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def test_trainer_fit_on_mesh(tmp_path):

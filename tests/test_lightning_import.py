@@ -14,6 +14,8 @@ from devt_tpu.models.ptn import PTN
 from devt_tpu.models.r2plus1d import _midplanes
 from devt_tpu.utils import lightning_import
 
+pytestmark = pytest.mark.slow
+
 RNG = np.random.default_rng(0)
 
 

@@ -6,6 +6,8 @@ import pytest
 from devt_tpu import main as entry
 from devt_tpu.data import synthetic
 
+pytestmark = pytest.mark.slow
+
 
 def test_main_mmx_temporal(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)

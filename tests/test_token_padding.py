@@ -5,6 +5,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from devt_tpu.models.vivit import ViViT
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def test_vivit_padded_equals_unpadded():
