@@ -18,14 +18,20 @@ BASELINE_CLIPS_PER_SEC = 1500.0
 
 
 def run_bench(batch_size: int = 32, frames: int = 16, image: int = 224,
-              iters: int = 20, warmup: int = 3) -> dict:
+              iters: int = 20, warmup: int = 3, unroll: int = 8) -> dict:
+    """``unroll`` > 1 runs the framework's multi-step executor
+    (parallel/train_step.py:make_multi_step): ``unroll`` full train steps
+    scanned into one XLA program, so per-dispatch host latency is paid
+    once per ``unroll`` steps — the steady-state shape of the real
+    training harness, which always has batches queued ahead."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from devt_tpu.config import Config
     from devt_tpu.models.vivit import ViViT
-    from devt_tpu.parallel.train_step import make_train_step
+    from devt_tpu.parallel.train_step import (make_multi_step,
+                                              make_train_step)
     from devt_tpu.train.optimizers import build_optimizer
     from devt_tpu.train.state import TrainState
 
@@ -48,8 +54,14 @@ def run_bench(batch_size: int = 32, frames: int = 16, image: int = 224,
     variables = model.init(jax.random.PRNGKey(0), batch["vid"])
     tx = build_optimizer(cfg)
     state = TrainState.create(variables["params"], tx)
-    train_step = make_train_step(model, cfg)
     step_rng = jax.random.PRNGKey(1)
+
+    if unroll > 1:
+        train_step = make_multi_step(model, cfg, unroll)
+        batch = jax.tree_util.tree_map(
+            lambda v: jnp.broadcast_to(v[None], (unroll,) + v.shape), batch)
+    else:
+        train_step = make_train_step(model, cfg)
 
     # NOTE: block_until_ready is unreliable on the tunneled axon platform
     # (returns before execution completes) — a host readback of the loss is
@@ -65,7 +77,7 @@ def run_bench(batch_size: int = 32, frames: int = 16, image: int = 224,
     float(metrics["loss"])
     dt = time.perf_counter() - t0
 
-    clips_per_sec = batch_size * iters / dt
+    clips_per_sec = batch_size * unroll * iters / dt
     return {
         "metric": "clips/sec/chip fwd+bwd (16x224x224 clips, ViViT bf16)",
         "value": round(clips_per_sec, 2),
@@ -76,7 +88,8 @@ def run_bench(batch_size: int = 32, frames: int = 16, image: int = 224,
             "frames": frames,
             "image": image,
             "iters": iters,
-            "step_ms": round(dt / iters * 1e3, 3),
+            "unroll": unroll,
+            "step_ms": round(dt / (iters * unroll) * 1e3, 3),
             "backend": jax.default_backend(),
             "loss_finite": bool(jnp.isfinite(metrics["loss"])),
         },

@@ -79,6 +79,14 @@ class ContrastivePairDataset:
             from devt_tpu.data.mmx_temporal import collect_labels_15
 
             return collect_labels_15(flat)
+        if isinstance(flat, str):
+            # MIT contrastive: label is one category string, resolved
+            # through moments_categories.csv (MIT_Contrastive_dl.py keeps
+            # the same lookup as the temporal loader)
+            from devt_tpu.data import manifests as _m
+
+            idx_ = _m.load_moments_categories().get(flat, 0)
+            return np.asarray(idx_, np.float32)[None]
         label = np.asarray(raw, np.float32)
         return label[None] if label.ndim == 0 else label
 
@@ -104,10 +112,20 @@ class ContrastivePairDataset:
             vecs.append(manifests.load_tensor(path, width=2048)[0])
         return aggregate(vecs, self.config.aggregation, self.width)
 
+    def _units(self, idx: int) -> list:
+        """Pairable units of one row: MMX manifests call them ``scenes``,
+        MIT contrastive manifests call them ``data`` (chunks —
+        create_mit_contrastive.py:49)."""
+        row = self.df.loc[idx]
+        col = row.get("scenes")
+        if not isinstance(col, dict):
+            col = row.get("data")
+        return list(col.values())
+
     def __getitem__(self, idx: int):
         rng = random.Random(hash((self.config.seed, idx, self.train,
                                   random.random() if self.train else 0)))
-        scenes = list(self.df.at[idx, "scenes"].values())
+        scenes = self._units(idx)
         label = self._label(idx)
 
         if len(scenes) >= 2:
@@ -115,8 +133,7 @@ class ContrastivePairDataset:
             s_i, s_j = scenes[i], scenes[j]
         else:
             # neighbour mix-up (MMX_Contrastive_dl.py:208-238)
-            nbr = list(self.df.at[(idx + 1) % len(self.df),
-                                  "scenes"].values())
+            nbr = self._units((idx + 1) % len(self.df))
             s_i = scenes[0]
             s_j = nbr[rng.randrange(len(nbr))]
 

@@ -192,6 +192,54 @@ def build_mmx_contrastive(corpus_root: str, out_train: str, out_val: str,
                               split, workers)
 
 
+def build_mit_contrastive(corpus_root: str, out_path: str,
+                          experts: Sequence[str], workers: int = 8,
+                          shuffle_seed: int | None = 0) -> int:
+    """MIT contrastive training manifest
+    (create_mit_contrastive.py:14-77): layout
+    ``<root>/<label>/<video>/<chunk>/<expert>.npy``; record = {"path",
+    "label", "data": {chunk: {expert: [paths]}}} — the chunk-pair sampling
+    happens at load time (ContrastivePairDataset).  The reference shuffles
+    the video list before the streamed dump (create_mit_contrastive.py:73);
+    ``shuffle_seed=None`` disables."""
+    import random as _random
+
+    videos = []
+    for label in sorted(os.listdir(corpus_root)):
+        ldir = os.path.join(corpus_root, label)
+        if not os.path.isdir(ldir):
+            continue
+        for video in sorted(os.listdir(ldir)):
+            vdir = os.path.join(ldir, video)
+            if os.path.isdir(vdir):
+                videos.append((label, video, vdir))
+    if shuffle_seed is not None:
+        _random.Random(shuffle_seed).shuffle(videos)
+
+    def record(args):
+        label, video, vdir = args
+        data: OrderedDict = OrderedDict()
+        for chunk_dir in numeric_sort(
+                d for d in glob.glob(os.path.join(vdir, "*"))
+                if os.path.isdir(d)):
+            chunk = {}
+            for expert in experts:
+                paths = numeric_sort(glob.glob(
+                    os.path.join(chunk_dir, f"{expert}*.npy")))
+                if paths:
+                    # >1 stored tensors → list (random choice at load);
+                    # exactly 1 → single-element list, like the reference
+                    chunk[expert] = paths
+            if chunk:
+                data[os.path.basename(chunk_dir.rstrip("/"))] = chunk
+        return {"path": vdir, "label": label, "data": data}
+
+    records = [r for r in process_map(record, videos, workers) if r["data"]]
+    for r in records:
+        append_pickle(out_path, r)
+    return len(records)
+
+
 def extract_experts(corpus_root: str, experts: Sequence[str],
                     extractor=None, frames_per_scene: int = 8) -> int:
     """Run the frozen expert extractors over every scene's frames and write

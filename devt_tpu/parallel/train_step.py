@@ -37,8 +37,9 @@ def _split_microbatches(batch, accum: int):
     return jax.tree_util.tree_map(split, batch)
 
 
-def make_train_step(model, config: Config) -> Callable:
-    """Returns jitted ``train_step(state, batch, rng) -> (state, metrics)``."""
+def _make_step_body(model, config: Config) -> Callable:
+    """Un-jitted ``(state, batch, rng) -> (state, metrics)`` — one full
+    fwd+bwd+update.  Shared by the single-step and multi-step executors."""
     accum = max(config.accum_steps, 1)
 
     def loss_fn(params, model_state, batch, rng):
@@ -87,7 +88,41 @@ def make_train_step(model, config: Config) -> Callable:
                 metrics[k] = aux[k]
         return new_state, metrics
 
-    return jax.jit(train_step, donate_argnums=(0,))
+    return train_step
+
+
+def make_train_step(model, config: Config) -> Callable:
+    """Returns jitted ``train_step(state, batch, rng) -> (state, metrics)``."""
+    return jax.jit(_make_step_body(model, config), donate_argnums=(0,))
+
+
+def make_multi_step(model, config: Config, n_steps: int) -> Callable:
+    """Returns jitted ``multi_step(state, batches, rng) -> (state, metrics)``
+    running ``n_steps`` FULL train steps (each fwd+bwd+optimizer update) as
+    one XLA program via ``lax.scan``.
+
+    ``batches`` is a stacked batch tree with leading axis ``n_steps``.
+    Host dispatch cost is paid once per n_steps — the command-buffer idea
+    for backends where per-dispatch latency is material (the tunneled
+    single-chip path here; the same shape works over DCN-attached hosts).
+    The scan body compiles once, so compile time matches the single step.
+    Per-step randomness still folds ``state.step`` into the rng, identical
+    to n_steps separate calls.  Returned metrics are the scan-stacked
+    per-step values reduced to their mean (loss curves stay visible at
+    multi-step granularity).
+    """
+    body = _make_step_body(model, config)
+
+    def multi_step(state: TrainState, batches, rng):
+        def scan_body(carry, batch):
+            new_state, metrics = body(carry, batch, rng)
+            return new_state, metrics
+
+        state, stacked = jax.lax.scan(scan_body, state, batches)
+        return state, jax.tree_util.tree_map(
+            lambda v: jnp.mean(v, axis=0), stacked)
+
+    return jax.jit(multi_step, donate_argnums=(0,))
 
 
 def make_eval_step(model, config: Config) -> Callable:

@@ -198,3 +198,37 @@ def test_admin_filter(tmp_path):
                                     keep=lambda r: "movie3" not in r["path"])
     assert (kept, dropped) == (4, 1)
     assert all("movie3" not in r["path"] for r in stream_pickle(dst))
+
+
+def test_build_mit_contrastive_roundtrip(tmp_path):
+    """build_mit_contrastive (create_mit_contrastive.py:14-77) → manifest →
+    ContrastiveDataModule pair batches."""
+    from devt_tpu.config import Config
+    from devt_tpu.data.contrastive import ContrastiveDataModule
+
+    rng = np.random.default_rng(3)
+    root = str(tmp_path / "mit")
+    for label in ("clapping", "dropping"):
+        for v in range(3):
+            for c in range(3):
+                cdir = os.path.join(root, label, f"vid{v}", f"chunk{c:02d}")
+                os.makedirs(cdir, exist_ok=True)
+                np.save(os.path.join(cdir, "img-embeddings.npy"),
+                        rng.standard_normal((1, 2048)).astype(np.float32))
+    out = str(tmp_path / "mit_contrastive.pkl")
+    n = builders.build_mit_contrastive(root, out, ("img-embeddings",),
+                                       workers=1)
+    assert n == 6
+    recs = stream_pickle(out)
+    assert set(recs[0]) == {"path", "label", "data"}
+    assert len(recs[0]["data"]) == 3
+    # chunk keys carry the directory basename like the reference
+    assert all(k.startswith("chunk") for k in recs[0]["data"])
+
+    cfg = Config(model="contrastive", batch_size=2, input_shape=2048,
+                 experts=("img-embeddings",), aggregation="none")
+    dm = ContrastiveDataModule(out, out, cfg).setup()
+    batch = next(iter(dm.train_batches()))
+    assert batch["x_i"].shape == (2, 2048)
+    assert batch["x_j"].shape == (2, 2048)
+    assert not np.allclose(batch["x_i"], batch["x_j"])

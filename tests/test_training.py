@@ -186,3 +186,29 @@ def test_main_entry_end_to_end(tmp_path, monkeypatch):
     ])
     assert "test/loss" in results
     assert os.path.exists(tmp_path / "ckpt" / "config.yaml")
+
+
+def test_multi_step_matches_separate_steps():
+    """make_multi_step (scan of K full train steps in one XLA program) is
+    bit-equivalent to K separate make_train_step calls."""
+    from devt_tpu.parallel.train_step import make_multi_step
+
+    cfg, model, state1, _ = _tiny_ptn_setup()
+    _, _, state2, _ = _tiny_ptn_setup()
+    rng = np.random.default_rng(7)
+    K = 3
+    batches = {
+        "experts": rng.standard_normal((K, 8, 4, 2, 64), dtype=np.float32),
+        "label": (rng.random((K, 8, 15)) < 0.3).astype(np.float32),
+    }
+    key = jax.random.PRNGKey(2)
+    step = make_train_step(model, cfg)
+    for i in range(K):
+        state1, m1 = step(state1, {k: v[i] for k, v in batches.items()}, key)
+    multi = make_multi_step(model, cfg, K)
+    state2, m2 = multi(state2, batches, key)
+    assert int(state2.step) == K
+    for a, b in zip(jax.tree_util.tree_leaves(state1.params),
+                    jax.tree_util.tree_leaves(state2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert np.isfinite(float(m2["loss"]))
