@@ -94,12 +94,15 @@ def packed_mha(qkv, *, heads: int, scale: float | None = None,
     use_dropout = dropout_rate > 0.0 and dropout_rng is not None
     resolved = impl
     if resolved == "auto":
-        resolved = "pallas" if (_default_backend_is_tpu()
-                                and not use_dropout) else "xla"
+        # in-kernel prob dropout (hardware PRNG) keeps the fused path hot
+        # for the reference's training configs (dropout 0.1–0.5,
+        # src/config.yaml:10, src/models/frame_transformer.py:99)
+        resolved = "pallas" if _default_backend_is_tpu() else "xla"
     single_block = ((s + 127) // 128) * 128 <= 512
-    if resolved == "pallas" and single_block and not use_dropout:
+    if resolved == "pallas" and single_block:
         return fused_mha(qkv, heads=heads, scale=scale, kv_len=kv_len,
-                         interpret=interpret)
+                         dropout_rate=dropout_rate if use_dropout else 0.0,
+                         dropout_rng=dropout_rng, interpret=interpret)
     split = qkv.reshape(b, s, 3, heads, d)
     q, k, v = (split[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
     out = scaled_dot_product_attention(

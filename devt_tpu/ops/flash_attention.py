@@ -522,11 +522,36 @@ _flash_single.defvjp(_flash_single_fwd, _flash_single_bwd)
 # (trace-measured at ~1.8 ms/layer/step on the ViViT bench: qkv copies
 # {4,1,3,0,2}<->{0,4,3,2,1} plus the pad_add gradient assembly).  The
 # backward kernel writes the packed dqkv gradient directly.
+#
+# Attention-probability dropout (torch MHA semantics: dropout applied to
+# the normalised softmax probabilities, kept entries scaled by 1/(1-rate)
+# — src/models/transformer.py:39-47) runs IN-KERNEL via the hardware PRNG:
+# both passes seed ``pltpu.prng_seed(seed + program_id)`` and draw the
+# per-head mask bits in the same order, so the backward mask is identical
+# to the forward one without materialising (B·H, S, S) masks in HBM.  The
+# softmax statistics (lse) are computed before the mask — dropout-after-
+# softmax — so ``delta = rowsum(dO·O)`` stays valid in the backward pass.
 # ---------------------------------------------------------------------------
 
 
-def _mha_fwd_kernel(qkv_ref, o_ref, lse_ref,
-                    *, heads: int, d: int, scale: float, kv_len: int):
+def _dropout_cutoff(rate: float):
+    return jnp.uint32(min(int(rate * (1 << 32)), (1 << 32) - 1))
+
+
+def _random_keep(shape, rate: float):
+    bits = pltpu.prng_random_bits(shape)
+    if bits.dtype != jnp.uint32:
+        bits = pltpu.bitcast(bits, jnp.uint32)
+    return bits >= _dropout_cutoff(rate)
+
+
+def _mha_fwd_kernel(qkv_ref, *refs, heads: int, d: int, scale: float,
+                    kv_len: int, dropout_rate: float = 0.0):
+    if dropout_rate > 0.0:
+        seed_ref, o_ref, lse_ref = refs
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    else:
+        o_ref, lse_ref = refs
     for i in range(heads):
         q = qkv_ref[:, :, i * d:(i + 1) * d]                  # (G, S, D)
         k = qkv_ref[:, :, (heads + i) * d:(heads + i + 1) * d]
@@ -539,16 +564,26 @@ def _mha_fwd_kernel(qkv_ref, o_ref, lse_ref,
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
+        pn = p / l
+        if dropout_rate > 0.0:
+            keep = _random_keep(s.shape, dropout_rate)
+            pn = jnp.where(keep, pn / (1.0 - dropout_rate), 0.0)
         o = jax.lax.dot_general(
-            (p / l).astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+            pn.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
         o_ref[:, :, i * d:(i + 1) * d] = o.astype(o_ref.dtype)
         lse_ref[:, :, i * _LANES:(i + 1) * _LANES] = jnp.broadcast_to(
             m + jnp.log(l), (m.shape[0], m.shape[1], _LANES))
 
 
-def _mha_bwd_kernel(qkv_ref, o_ref, do_ref, lse_ref, dqkv_ref,
-                    *, heads: int, d: int, scale: float, kv_len: int):
+def _mha_bwd_kernel(qkv_ref, *refs, heads: int, d: int, scale: float,
+                    kv_len: int, dropout_rate: float = 0.0):
+    if dropout_rate > 0.0:
+        seed_ref, o_ref, do_ref, lse_ref, dqkv_ref = refs
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        inv_keep = 1.0 / (1.0 - dropout_rate)
+    else:
+        o_ref, do_ref, lse_ref, dqkv_ref = refs
     for i in range(heads):
         q = qkv_ref[:, :, i * d:(i + 1) * d]
         k = qkv_ref[:, :, (heads + i) * d:(heads + i + 1) * d]
@@ -565,13 +600,22 @@ def _mha_bwd_kernel(qkv_ref, o_ref, do_ref, lse_ref, dqkv_ref,
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
         s = jnp.where(col < kv_len, s, NEG_INF)
         p = jnp.exp(s - lse)
+        if dropout_rate > 0.0:
+            # identical stream to the forward pass (same seed, same order)
+            keep = _random_keep(s.shape, dropout_rate)
+            mask = jnp.where(keep, inv_keep, 0.0)
+            p_masked = p * mask
+        else:
+            p_masked = p
 
         dv = jax.lax.dot_general(
-            p.astype(do.dtype), do, (((1,), (1,)), ((0,), (0,))),
+            p_masked.astype(do.dtype), do, (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(
             do, v, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
+        if dropout_rate > 0.0:
+            dp = dp * mask
         ds = p * (dp - delta) * scale
         dq = jax.lax.dot_general(
             ds.astype(k.dtype), k, (((2,), (1,)), ((0,), (0,))),
@@ -598,15 +642,24 @@ def _mha_group(b: int, s_p: int, heads: int, d: int, bwd: bool) -> int:
     return int(g)
 
 
-def _mha_fwd(qkv, *, heads, d, scale, kv_len, interpret):
+def _mha_fwd(qkv, seed, *, heads, d, scale, kv_len, rate, interpret):
     b, s_p, f = qkv.shape
-    g = _mha_group(b, s_p, heads, d, bwd=False)
+    # with dropout the grid grouping MUST match the backward call — the
+    # PRNG stream is seeded per grid step, so a different g would pair
+    # rows with different mask bits
+    g = _mha_group(b, s_p, heads, d, bwd=rate > 0.0)
     kernel = functools.partial(_mha_fwd_kernel, heads=heads, d=d,
-                               scale=scale, kv_len=kv_len)
+                               scale=scale, kv_len=kv_len,
+                               dropout_rate=rate)
+    in_specs = [pl.BlockSpec((g, s_p, f), lambda i: (i, 0, 0))]
+    args = [qkv]
+    if rate > 0.0:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        args.append(seed)
     return pl.pallas_call(
         kernel,
         grid=(b // g,),
-        in_specs=[pl.BlockSpec((g, s_p, f), lambda i: (i, 0, 0))],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((g, s_p, heads * d), lambda i: (i, 0, 0)),
             pl.BlockSpec((g, s_p, heads * _LANES), lambda i: (i, 0, 0)),
@@ -616,54 +669,63 @@ def _mha_fwd(qkv, *, heads, d, scale, kv_len, interpret):
             jax.ShapeDtypeStruct((b, s_p, heads * _LANES), jnp.float32),
         ),
         interpret=interpret,
-    )(qkv)
+    )(*args)
 
 
-def _mha_bwd_call(qkv, o, lse, do, *, heads, d, scale, kv_len, interpret):
+def _mha_bwd_call(qkv, seed, o, lse, do, *, heads, d, scale, kv_len, rate,
+                  interpret):
     b, s_p, f = qkv.shape
     g = _mha_group(b, s_p, heads, d, bwd=True)
     kernel = functools.partial(_mha_bwd_kernel, heads=heads, d=d,
-                               scale=scale, kv_len=kv_len)
+                               scale=scale, kv_len=kv_len,
+                               dropout_rate=rate)
+    in_specs = [pl.BlockSpec((g, s_p, f), lambda i: (i, 0, 0))]
+    args = [qkv]
+    if rate > 0.0:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        args.append(seed)
+    in_specs += [
+        pl.BlockSpec((g, s_p, heads * d), lambda i: (i, 0, 0)),
+        pl.BlockSpec((g, s_p, heads * d), lambda i: (i, 0, 0)),
+        pl.BlockSpec((g, s_p, heads * _LANES), lambda i: (i, 0, 0)),
+    ]
     return pl.pallas_call(
         kernel,
         grid=(b // g,),
-        in_specs=[
-            pl.BlockSpec((g, s_p, f), lambda i: (i, 0, 0)),
-            pl.BlockSpec((g, s_p, heads * d), lambda i: (i, 0, 0)),
-            pl.BlockSpec((g, s_p, heads * d), lambda i: (i, 0, 0)),
-            pl.BlockSpec((g, s_p, heads * _LANES), lambda i: (i, 0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((g, s_p, f), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct(qkv.shape, qkv.dtype),
         interpret=interpret,
-    )(qkv, o, do, lse)
+    )(*args, o, do, lse)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5))
-def _fused_mha(qkv, heads, d, scale, kv_len, interpret):
-    o, _ = _mha_fwd(qkv, heads=heads, d=d, scale=scale, kv_len=kv_len,
-                    interpret=interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
+def _fused_mha(qkv, seed, heads, d, scale, kv_len, rate, interpret):
+    o, _ = _mha_fwd(qkv, seed, heads=heads, d=d, scale=scale, kv_len=kv_len,
+                    rate=rate, interpret=interpret)
     return o
 
 
-def _fused_mha_fwd(qkv, heads, d, scale, kv_len, interpret):
-    o, lse = _mha_fwd(qkv, heads=heads, d=d, scale=scale, kv_len=kv_len,
-                      interpret=interpret)
-    return o, (qkv, o, lse)
+def _fused_mha_fwd(qkv, seed, heads, d, scale, kv_len, rate, interpret):
+    o, lse = _mha_fwd(qkv, seed, heads=heads, d=d, scale=scale,
+                      kv_len=kv_len, rate=rate, interpret=interpret)
+    return o, (qkv, seed, o, lse)
 
 
-def _fused_mha_bwd(heads, d, scale, kv_len, interpret, res, do):
-    qkv, o, lse = res
-    dqkv = _mha_bwd_call(qkv, o, lse, do, heads=heads, d=d, scale=scale,
-                         kv_len=kv_len, interpret=interpret)
-    return (dqkv,)
+def _fused_mha_bwd(heads, d, scale, kv_len, rate, interpret, res, do):
+    qkv, seed, o, lse = res
+    dqkv = _mha_bwd_call(qkv, seed, o, lse, do, heads=heads, d=d,
+                         scale=scale, kv_len=kv_len, rate=rate,
+                         interpret=interpret)
+    return dqkv, jnp.zeros_like(seed)
 
 
 _fused_mha.defvjp(_fused_mha_fwd, _fused_mha_bwd)
 
 
 def fused_mha(qkv, *, heads: int, scale: float | None = None,
-              kv_len: int | None = None, interpret: bool = False):
+              kv_len: int | None = None, dropout_rate: float = 0.0,
+              dropout_rng=None, interpret: bool = False):
     """Packed-qkv attention.  qkv (B, S, 3*H*D) → (B, S, H*D).
 
     Feature order of the last axis must be (3, H, D) — the layout a fused
@@ -671,6 +733,10 @@ def fused_mha(qkv, *, heads: int, scale: float | None = None,
     [q_h0..q_hH, k_h0.., v_h0..] per (3, H, D) reshape.  Single-kv-block
     sequences only (every model in this family); falls back upstream
     otherwise.
+
+    ``dropout_rate`` > 0 (with a ``dropout_rng``) applies torch-MHA-style
+    attention-probability dropout inside the kernel (hardware PRNG; the
+    backward pass regenerates the identical mask).
     """
     b, s, f = qkv.shape
     d = f // (3 * heads)
@@ -680,7 +746,14 @@ def fused_mha(qkv, *, heads: int, scale: float | None = None,
     kv_len_eff = kv_len if kv_len is not None else s
     if s_p != s:
         qkv = jnp.pad(qkv, ((0, 0), (0, s_p - s), (0, 0)))
-    o = _fused_mha(qkv, heads, d, scale, kv_len_eff, interpret)
+    rate = float(dropout_rate)
+    if rate > 0.0:
+        assert dropout_rng is not None, "dropout_rate > 0 needs a rng"
+        seed = jax.random.randint(dropout_rng, (1,), 0, 2 ** 30,
+                                  dtype=jnp.int32)
+    else:
+        seed = jnp.zeros((1,), jnp.int32)
+    o = _fused_mha(qkv, seed, heads, d, scale, kv_len_eff, rate, interpret)
     if s_p != s:
         o = o[:, :s]
     return o
