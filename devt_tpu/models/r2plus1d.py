@@ -97,15 +97,19 @@ class VideoBasicBlock(nn.Module):
 
 
 class R2Plus1D(nn.Module):
-    """R(2+1)D video ResNet.  Input (B, T, H, W, C) → logits / features."""
+    """R(2+1)D video ResNet.  Input (B, T, H, W, C) → logits / features.
+
+    ``output="stages"`` returns the layer4 activation map (B, T/8, H/16,
+    W/16, 512) before pooling — the reference's Grad-CAM target
+    ``vid_model.backbone.layer4[-1]`` (src/main.py:95-108)."""
     layers: Sequence[int] = (2, 2, 2, 2)
     num_classes: int = 400
-    output: str = "logits"     # "logits" | "features"
+    output: str = "logits"     # "logits" | "features" | "stages"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        assert self.output in ("logits", "features")
+        assert self.output in ("logits", "features", "stages")
         # R(2+1)D stem: (1,7,7) spatial into 45 mid channels, then (3,1,1)
         # temporal into 64.
         x = ConvBN3d(45, (1, 7, 7), (1, 2, 2), (0, 3, 3),
@@ -126,6 +130,8 @@ class R2Plus1D(nn.Module):
                 inplanes = planes
             # (inplanes updates inside the loop: first block changes width)
 
+        if self.output == "stages":
+            return x                               # layer4 map, pre-pool
         x = jnp.mean(x, axis=(1, 2, 3))            # global avg pool (T,H,W)
         if self.output == "features":
             return x

@@ -54,6 +54,39 @@ def gradcam_resnet(model, variables, images, class_idx,
     return np.asarray(cam / jnp.maximum(cam_max, 1e-8))
 
 
+def gradcam_r2plus1d(model, variables, clips, class_idx, head_fn=None):
+    """CAM heatmaps for the R(2+1)D video backbone (models/r2plus1d.py) —
+    the reference's commented visualisation target
+    ``vid_model.backbone.layer4[-1]`` (src/main.py:95-108).
+
+    clips: (B, T, H, W, C); class_idx: int or (B,).  ``head_fn(pooled)``
+    maps pooled 512-d features → logits (defaults to the model's fc).
+
+    Returns (B, T/8, H/16, W/16) heatmaps in [0, 1] — one spatial CAM per
+    temporal super-frame; broadcast over the 8-frame window to overlay on
+    the input clip.
+    """
+    stages_model = model.clone(output="stages")
+
+    def head_from_act(a):
+        pooled = jnp.mean(a, axis=(1, 2, 3))
+        if head_fn is not None:
+            logits = head_fn(pooled)
+        else:
+            fc = variables["params"]["fc"]
+            logits = pooled @ fc["kernel"] + fc["bias"]
+        idx = jnp.broadcast_to(jnp.asarray(class_idx), (a.shape[0],))
+        picked = jnp.take_along_axis(logits, idx[:, None], axis=1)
+        return jnp.sum(picked)
+
+    high = stages_model.apply(variables, clips, train=False)  # (B,t,h,w,C)
+    grads = jax.grad(head_from_act)(high)
+    weights = jnp.mean(grads, axis=(1, 2, 3), keepdims=True)
+    cam = jnp.maximum(jnp.sum(weights * high, axis=-1), 0.0)  # (B,t,h,w)
+    cam_max = jnp.max(cam, axis=(1, 2, 3), keepdims=True)
+    return np.asarray(cam / jnp.maximum(cam_max, 1e-8))
+
+
 def show_cam_on_image(image: np.ndarray, cam: np.ndarray,
                       alpha: float = 0.5) -> np.ndarray:
     """Overlay a [0,1] heatmap on an HWC [0,1] image (the reference's

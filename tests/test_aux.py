@@ -84,3 +84,22 @@ def test_jsonl_logger_roundtrip(tmp_path):
     lines = [json.loads(l) for l in open(logger.path)]
     assert lines[0]["a"] == 1.5 and lines[0]["step"] == 3
     assert "line1" in lines[1]["report"]
+
+
+def test_gradcam_r2plus1d_video_backbone():
+    """Grad-CAM on the R(2+1)D layer4 activation — the reference's
+    commented target vid_model.backbone.layer4[-1] (src/main.py:95-108)."""
+    from devt_tpu.models.r2plus1d import r2plus1d_18
+    from devt_tpu.tools.gradcam import gradcam_r2plus1d
+
+    model = r2plus1d_18(output="logits", num_classes=5)
+    clip = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (1, 8, 32, 32, 3)), jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, clip)
+    cam = gradcam_r2plus1d(model, variables, clip, class_idx=2)
+    assert cam.shape == (1, 1, 2, 2)        # T 8/8, HW 32/16
+    assert cam.min() >= 0.0 and cam.max() <= 1.0
+
+    img = np.random.default_rng(1).random((32, 32, 3)).astype(np.float32)
+    overlay = show_cam_on_image(img, cam[0, 0])
+    assert overlay.shape == (32, 32, 3) and overlay.dtype == np.uint8
