@@ -51,12 +51,16 @@ class Loader:
                  num_workers: int = 4, prefetch: int = 2,
                  process_index: int | None = None,
                  process_count: int | None = None):
+        import os
+
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
         self.sampler = sampler
-        self.num_workers = num_workers
+        # more assembly threads than cores measurably hurts (the native
+        # decoder already threads internally): cap at the host core count
+        self.num_workers = min(num_workers, os.cpu_count() or num_workers)
         self.prefetch = prefetch
         if process_index is None:
             import jax

@@ -184,3 +184,50 @@ def write_fake_light_csv(root: str, n_movies: int = 4,
                   for _ in range(2)] + [""] * 4
             w.writerow([movie_root] + gs)
     return csv_path
+
+
+def write_fake_mjpeg_avi(path: str, n_shots: int = 3,
+                         frames_per_shot: int = 16, size: int = 96,
+                         seed: int = 0) -> str:
+    """Minimal MJPG-in-AVI fixture: ``n_shots`` visually distinct shots of
+    ``frames_per_shot`` JPEG frames each — the missing mp4 fixture of the
+    reference's only real test (src/tests/test_transforms.py:11-21),
+    encodable with PIL alone and decodable by the native MJPEG path."""
+    import io
+    import struct
+
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    jpegs = []
+    for s in range(n_shots):
+        base = rng.integers(0, 255, (3,))
+        for f in range(frames_per_shot):
+            arr = np.clip(base[None, None]
+                          + rng.normal(0, 12, (size, size, 3)), 0,
+                          255).astype(np.uint8)
+            buf = io.BytesIO()
+            Image.fromarray(arr).save(buf, format="JPEG", quality=85)
+            jpegs.append(buf.getvalue())
+
+    def chunk(fourcc: bytes, payload: bytes) -> bytes:
+        pad = b"\0" if len(payload) % 2 else b""
+        return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+    def lst(subtype: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", subtype + payload)
+
+    n = len(jpegs)
+    avih = struct.pack("<14I", 66666, 0, 0, 0x10, n, 0, 1, 0, size, size,
+                       0, 0, 0, 0)
+    strh = struct.pack("<4s4sIHHIIIIIIIIhhhh", b"vids", b"MJPG", 0, 0, 0,
+                       0, 1, 15, 0, n, 0, 0xFFFFFFFF, 0, 0, 0, size, size)
+    strf = struct.pack("<IiiHH4sIiiII", 40, size, size, 1, 24, b"MJPG",
+                       size * size * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", j) for j in jpegs))
+    body = b"AVI " + hdrl + movi
+    with open(path, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", len(body)) + body)
+    return path

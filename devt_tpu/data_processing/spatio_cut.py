@@ -101,16 +101,29 @@ class SpatioCut:
         return chunks
 
     # ------------------------------------------------------------------
-    def cut_video_file(self, video_path: str, frames_per_chunk: int = 16
-                       ) -> list[list[np.ndarray]]:
-        """ffmpeg decode path (re-rate → frame dump → chunk).  Needs an
-        ``ffmpeg`` binary on PATH (the reference's hard dependency,
-        spatio_cut.py:11-22)."""
+    def cut_video_file(self, video_path: str, frames_per_chunk: int = 16,
+                       shot_aware: bool = False) -> list[list[np.ndarray]]:
+        """Video-file decode path (the reference's ffmpeg role,
+        spatio_cut.py:11-22).
+
+        MJPEG streams and MJPG-in-AVI files decode natively through the
+        C++ library (devt_tpu/native.py — no external binary needed);
+        other codecs fall back to an ``ffmpeg`` binary when one is on
+        PATH."""
+        from devt_tpu import native
+
+        if native.available() and video_path.lower().endswith(
+                (".avi", ".mjpeg", ".mjpg")):
+            frames = native.load_video_rgb8(video_path)
+            if frames is not None:
+                return self.cut_vid(frames, frames_per_chunk,
+                                    shot_aware=shot_aware)
         ffmpeg = shutil.which("ffmpeg")
         if ffmpeg is None:
             raise RuntimeError(
-                "ffmpeg binary not found — decode the video externally and "
-                "pass frames (array/dir) to cut_vid() instead")
+                "no native decoder for this container and no ffmpeg binary "
+                "— decode externally and pass frames (array/dir) to "
+                "cut_vid() instead")
         with tempfile.TemporaryDirectory() as tmp:
             subprocess.run(
                 [ffmpeg, "-y", "-i", video_path, "-r", str(self.fps),

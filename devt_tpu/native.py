@@ -61,6 +61,18 @@ def _load():
     lib.devt_image_dims.argtypes = [ctypes.c_char_p, i32p, i32p]
     lib.devt_image_dims.restype = ctypes.c_int
 
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.devt_video_info.argtypes = [ctypes.c_char_p, i32p, i32p, i32p]
+    lib.devt_video_info.restype = ctypes.c_int
+    lib.devt_video_decode_rgb8.argtypes = [
+        ctypes.c_char_p, u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int]
+    lib.devt_video_decode_rgb8.restype = ctypes.c_int
+    lib.devt_video_decode_f32.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, f32p, f32p, f32p,
+        ctypes.c_int, ctypes.c_int]
+    lib.devt_video_decode_f32.restype = ctypes.c_int
+
     lib.devt_ann_create.argtypes = [ctypes.c_int]
     lib.devt_ann_create.restype = ctypes.c_void_p
     lib.devt_ann_destroy.argtypes = [ctypes.c_void_p]
@@ -102,11 +114,17 @@ def load_image_f32(path: str, resize: int, crop: int,
 
 def load_batch_f32(paths: Sequence[str], resize: int, crop: int,
                    mean: Sequence[float], std: Sequence[float],
-                   nthreads: int = 8) -> tuple[np.ndarray, np.ndarray]:
+                   nthreads: int | None = None
+                   ) -> tuple[np.ndarray, np.ndarray]:
     """Threaded batch load → ((N, crop, crop, 3) f32, (N,) status int32).
+
+    ``nthreads`` defaults to the host core count (capped at 8) — spawning
+    more threads than cores measurably hurts on small hosts.
 
     Failed decodes leave zero images with nonzero status — the pipeline's
     missing-data fault-tolerance contract."""
+    if nthreads is None:
+        nthreads = min(8, os.cpu_count() or 1)
     lib = _load()
     assert lib is not None, "native library unavailable"
     n = len(paths)
@@ -120,6 +138,60 @@ def load_batch_f32(paths: Sequence[str], resize: int, crop: int,
                             status.ctypes.data_as(
                                 ctypes.POINTER(ctypes.c_int)), nthreads)
     return out, status
+
+
+def video_info(path: str) -> tuple[int, int, int] | None:
+    """(n_frames, width, height) of an MJPEG/.avi video, or None."""
+    lib = _load()
+    assert lib is not None, "native library unavailable"
+    n = ctypes.c_int()
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    rc = lib.devt_video_info(path.encode(), ctypes.byref(n),
+                             ctypes.byref(w), ctypes.byref(h))
+    return (n.value, w.value, h.value) if rc == 0 else None
+
+
+def load_video_rgb8(path: str, max_frames: int = 1 << 16,
+                    nthreads: int | None = None) -> np.ndarray | None:
+    """Decode an MJPEG/.avi video → (N, H, W, 3) uint8 (the ffmpeg-decode
+    role of the reference's shot pipeline, spatio_cut.py:11-33)."""
+    lib = _load()
+    assert lib is not None, "native library unavailable"
+    info = video_info(path)
+    if info is None:
+        return None
+    n, w, h = info
+    n = min(n, max_frames)
+    out = np.zeros((n, h, w, 3), np.uint8)
+    if nthreads is None:
+        nthreads = min(8, os.cpu_count() or 1)
+    got = lib.devt_video_decode_rgb8(
+        path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        n, w, h, nthreads)
+    return out[:got] if got > 0 else None
+
+
+def load_video_f32(path: str, resize: int, crop: int,
+                   mean: Sequence[float], std: Sequence[float],
+                   max_frames: int = 1 << 16,
+                   nthreads: int | None = None) -> np.ndarray | None:
+    """Fused video decode→resize→crop→normalize → (N, crop, crop, 3) f32."""
+    lib = _load()
+    assert lib is not None, "native library unavailable"
+    info = video_info(path)
+    if info is None:
+        return None
+    n = min(info[0], max_frames)
+    out = np.zeros((n, crop, crop, 3), np.float32)
+    mean = np.ascontiguousarray(mean, np.float32)
+    std = np.ascontiguousarray(std, np.float32)
+    if nthreads is None:
+        nthreads = min(8, os.cpu_count() or 1)
+    got = lib.devt_video_decode_f32(path.encode(), resize, crop,
+                                    _f32p(mean), _f32p(std), _f32p(out),
+                                    n, nthreads)
+    return out[:got] if got > 0 else None
 
 
 class AnnIndex:

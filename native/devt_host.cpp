@@ -168,12 +168,10 @@ Image resize_bilinear(const Image& src, int nw, int nh) {
   return dst;
 }
 
-// one fused sample: decode → shorter-side resize → center crop →
-// normalize((v/255 - mean) / std) → f32 HWC
-int load_image_f32_impl(const char* path, int resize, int crop,
-                        const float* mean, const float* stddev, float* out) {
-  Image img = decode_file(path);
-  if (!img.ok) return -1;
+// shorter-side resize → center crop → normalize((v/255 - mean) / std)
+// → f32 HWC (shared by the image and video fused paths)
+int fuse_postprocess(const Image& img, int resize, int crop,
+                     const float* mean, const float* stddev, float* out) {
   int nw, nh;
   if (img.w <= img.h) {
     nw = resize;
@@ -198,6 +196,119 @@ int load_image_f32_impl(const char* path, int resize, int crop,
     }
   }
   return 0;
+}
+
+// one fused sample: decode → shorter-side resize → center crop →
+// normalize((v/255 - mean) / std) → f32 HWC
+int load_image_f32_impl(const char* path, int resize, int crop,
+                        const float* mean, const float* stddev, float* out) {
+  Image img = decode_file(path);
+  if (!img.ok) return -1;
+  return fuse_postprocess(img, resize, crop, mean, stddev, out);
+}
+
+// ---------------------------------------------------------------------------
+// Video decode: MJPEG — raw concatenated-JPEG streams and MJPG-in-AVI.
+//
+// The reference decodes video by shelling out to ffmpeg
+// (src/data_processing/transforms/spatio_cut.py:11-22); this image ships
+// no ffmpeg/libav, so the library carries a first-party decoder for the
+// one codec expressible with its bundled deps: Motion-JPEG (every frame a
+// baseline JPEG, decoded with the libjpeg path above) in either a raw
+// .mjpeg stream or a RIFF-AVI container ('movi' list, '##dc' chunks).
+// ---------------------------------------------------------------------------
+
+Image decode_jpeg_mem(const uint8_t* buf, size_t len) {
+  Image img;
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_err_exit;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_decompress(&cinfo);
+    return img;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, buf, static_cast<unsigned long>(len));
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  img.w = cinfo.output_width;
+  img.h = cinfo.output_height;
+  img.rgb.resize(size_t(img.w) * img.h * 3);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* row = img.rgb.data() + size_t(cinfo.output_scanline) * img.w * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  img.ok = true;
+  return img;
+}
+
+bool read_whole_file(const char* path, std::vector<uint8_t>* out) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return false;
+  fseek(f, 0, SEEK_END);
+  long n = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  if (n <= 0) {
+    fclose(f);
+    return false;
+  }
+  out->resize(size_t(n));
+  size_t got = fread(out->data(), 1, size_t(n), f);
+  fclose(f);
+  return got == size_t(n);
+}
+
+uint32_t rd_u32le(const uint8_t* p) {
+  return uint32_t(p[0]) | uint32_t(p[1]) << 8 | uint32_t(p[2]) << 16 |
+         uint32_t(p[3]) << 24;
+}
+
+// Collect (offset, size) spans of every JPEG frame in the file.
+// AVI: walk the RIFF chunk tree to the 'movi' LIST and take '##dc'/'##db'
+// chunks.  Raw MJPEG: split on SOI (FFD8FF) markers — legal because FF
+// bytes inside entropy-coded data are always stuffed with 00.
+void collect_frame_spans(const std::vector<uint8_t>& buf,
+                         std::vector<std::pair<size_t, size_t>>* spans) {
+  const size_t n = buf.size();
+  if (n >= 12 && memcmp(buf.data(), "RIFF", 4) == 0 &&
+      memcmp(buf.data() + 8, "AVI ", 4) == 0) {
+    // iterative chunk walk: stack of (pos, end) regions of chunk lists
+    std::vector<std::pair<size_t, size_t>> regions{{12, n}};
+    while (!regions.empty()) {
+      auto [pos, end] = regions.back();
+      regions.pop_back();
+      while (pos + 8 <= end) {
+        const uint8_t* hdr = buf.data() + pos;
+        uint32_t size = rd_u32le(hdr + 4);
+        size_t data = pos + 8;
+        if (data + size > n) break;
+        if (memcmp(hdr, "LIST", 4) == 0 && size >= 4) {
+          // descend into any LIST ('movi' holds the frames; 'rec ' can
+          // nest them; other lists simply contain no ##dc chunks)
+          regions.emplace_back(data + 4, data + size);
+        } else if (size > 2 && hdr[2] == 'd' && (hdr[3] == 'c' ||
+                                                 hdr[3] == 'b') &&
+                   buf[data] == 0xFF && buf[data + 1] == 0xD8) {
+          spans->emplace_back(data, size);
+        }
+        pos = data + size + (size & 1);  // chunks pad to even
+      }
+    }
+    return;
+  }
+  // raw MJPEG stream
+  size_t start = SIZE_MAX;
+  for (size_t i = 0; i + 2 < n; ++i) {
+    if (buf[i] == 0xFF && buf[i + 1] == 0xD8 && buf[i + 2] == 0xFF) {
+      if (start != SIZE_MAX) spans->emplace_back(start, i - start);
+      start = i;
+    }
+  }
+  if (start != SIZE_MAX) spans->emplace_back(start, n - start);
 }
 
 // ---------------------------------------------------------------------------
@@ -256,6 +367,82 @@ int devt_decode_image(const char* path, uint8_t* out, int max_bytes, int* w,
   *w = img.w;
   *h = img.h;
   return 0;
+}
+
+// ---- video pipeline (MJPEG / MJPG-in-AVI) ---------------------------------
+
+// Probe: frame count + dims of the first frame.  Returns 0 on success.
+int devt_video_info(const char* path, int* n_frames, int* w, int* h) {
+  std::vector<uint8_t> buf;
+  if (!read_whole_file(path, &buf)) return -1;
+  std::vector<std::pair<size_t, size_t>> spans;
+  collect_frame_spans(buf, &spans);
+  if (spans.empty()) return -2;
+  Image first = decode_jpeg_mem(buf.data() + spans[0].first, spans[0].second);
+  if (!first.ok) return -3;
+  *n_frames = int(spans.size());
+  *w = first.w;
+  *h = first.h;
+  return 0;
+}
+
+// Decode up to max_frames → out (n, h, w, 3) uint8 (dims from
+// devt_video_info; frames with other dims are bilinear-resized to match).
+// Returns frames written, or <0 on error.
+int devt_video_decode_rgb8(const char* path, uint8_t* out, int max_frames,
+                           int w, int h, int nthreads) {
+  std::vector<uint8_t> buf;
+  if (!read_whole_file(path, &buf)) return -1;
+  std::vector<std::pair<size_t, size_t>> spans;
+  collect_frame_spans(buf, &spans);
+  int n = std::min<int>(int(spans.size()), max_frames);
+  if (n <= 0) return -2;
+  std::atomic<int> next{0};
+  auto worker = [&]() {
+    for (int i = next.fetch_add(1); i < n; i = next.fetch_add(1)) {
+      Image img = decode_jpeg_mem(buf.data() + spans[i].first,
+                                  spans[i].second);
+      if (!img.ok) continue;
+      if (img.w != w || img.h != h) img = resize_bilinear(img, w, h);
+      memcpy(out + size_t(i) * w * h * 3, img.rgb.data(),
+             size_t(w) * h * 3);
+    }
+  };
+  int nt = std::max(1, std::min(nthreads, n));
+  std::vector<std::thread> threads;
+  threads.reserve(nt);
+  for (int t = 0; t < nt; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+  return n;
+}
+
+// Fused video decode: every frame → shorter-side resize → center crop →
+// normalize → out (n, crop, crop, 3) f32.  Returns frames written.
+int devt_video_decode_f32(const char* path, int resize, int crop,
+                          const float* mean, const float* stddev, float* out,
+                          int max_frames, int nthreads) {
+  std::vector<uint8_t> buf;
+  if (!read_whole_file(path, &buf)) return -1;
+  std::vector<std::pair<size_t, size_t>> spans;
+  collect_frame_spans(buf, &spans);
+  int n = std::min<int>(int(spans.size()), max_frames);
+  if (n <= 0) return -2;
+  std::atomic<int> next{0};
+  auto worker = [&]() {
+    for (int i = next.fetch_add(1); i < n; i = next.fetch_add(1)) {
+      Image img = decode_jpeg_mem(buf.data() + spans[i].first,
+                                  spans[i].second);
+      if (!img.ok) continue;
+      fuse_postprocess(img, resize, crop, mean, stddev,
+                       out + size_t(i) * crop * crop * 3);
+    }
+  };
+  int nt = std::max(1, std::min(nthreads, n));
+  std::vector<std::thread> threads;
+  threads.reserve(nt);
+  for (int t = 0; t < nt; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+  return n;
 }
 
 int devt_image_dims(const char* path, int* w, int* h) {

@@ -73,3 +73,46 @@ def test_ann_index_exact_knn(tmp_path):
     idx.save(path)
     loaded = native.AnnIndex.load(15, path)
     assert loaded.get_nns_by_vector(q, 3) == ids[:3]
+
+
+def test_native_video_decode_mjpeg_avi(tmp_path):
+    """First-party MJPG-in-AVI decode (the ffmpeg role, spatio_cut.py:11-33):
+    probe, rgb8 decode, fused f32 decode."""
+    from devt_tpu.data.synthetic import write_fake_mjpeg_avi
+
+    path = str(tmp_path / "clip.avi")
+    write_fake_mjpeg_avi(path, n_shots=3, frames_per_shot=16, size=96)
+
+    info = native.video_info(path)
+    assert info == (48, 96, 96)
+
+    frames = native.load_video_rgb8(path)
+    assert frames.shape == (48, 96, 96, 3) and frames.dtype == np.uint8
+    # shots are visually distinct: mean jumps at shot boundaries
+    means = frames.reshape(48, -1).mean(1)
+    assert abs(means[16] - means[15]) > 3 or abs(means[32] - means[31]) > 3
+
+    f32 = native.load_video_f32(path, 96, 64, [0.0, 0.0, 0.0],
+                                [1.0, 1.0, 1.0], max_frames=8)
+    assert f32.shape == (8, 64, 64, 3)
+    assert 0.0 <= f32.mean() <= 1.0
+
+
+def test_spatio_cut_native_video_file(tmp_path):
+    """cut_video_file on an AVI: the reference test contract — 3 chunks x
+    16 frames (src/tests/test_transforms.py:13-21) — without ffmpeg."""
+    from devt_tpu.data.synthetic import write_fake_mjpeg_avi
+    from devt_tpu.data_processing.spatio_cut import SpatioCut
+
+    path = str(tmp_path / "clip.avi")
+    write_fake_mjpeg_avi(path, n_shots=3, frames_per_shot=16, size=96)
+    cutter = SpatioCut()
+    chunks = cutter.cut_video_file(path, frames_per_chunk=16)
+    assert len(chunks) == 3
+    assert all(len(c) == 16 for c in chunks)
+    assert chunks[0][0].shape == (96, 96, 3)
+
+    # shot-aware path restarts chunks at boundaries
+    chunks_sa = cutter.cut_video_file(path, frames_per_chunk=16,
+                                      shot_aware=True)
+    assert len(chunks_sa) == 3
