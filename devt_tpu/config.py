@@ -135,6 +135,9 @@ class Config(Mapping[str, Any]):
     resume: str = ""                   # checkpoint path to restore
     max_steps: int = -1                # -1 = unbounded (epochs governs)
     host_batch_prefetch: int = 2
+    unroll_steps: int = 1              # >1: scan K full train steps into one
+                                       # XLA program (amortizes dispatch;
+                                       # parallel/train_step.make_multi_step)
 
     # ------------------------------------------------------------------
     def __post_init__(self) -> None:

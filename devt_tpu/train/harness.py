@@ -23,9 +23,25 @@ import jax
 import numpy as np
 
 from devt_tpu.config import Config
+from devt_tpu.data.pipeline import device_prefetch
 from devt_tpu.parallel.mesh import make_mesh, shard_batch
 from devt_tpu.parallel.sharding import shard_variables
-from devt_tpu.parallel.train_step import make_eval_step, make_train_step
+from devt_tpu.parallel.train_step import (make_eval_step, make_multi_step,
+                                          make_train_step)
+
+
+def _stacked(iterator, k: int):
+    """Group k device batches into one leading-axis-stacked tree (drops a
+    trailing partial group — same drop_last semantics as the loader)."""
+    import jax.numpy as jnp
+
+    group = []
+    for item in iterator:
+        group.append(item)
+        if len(group) == k:
+            yield jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *group)
+            group = []
 from devt_tpu.train import checkpoint as ckpt_lib
 from devt_tpu.train.callbacks import Callback
 from devt_tpu.train.loggers import JsonlLogger
@@ -109,19 +125,35 @@ class Trainer:
                               and type(cb).on_train_batch_end
                               is not Callback.on_train_batch_end
                               for cb in self.callbacks)
+        unroll = max(cfg.unroll_steps, 1)
+        multi_step = (make_multi_step(model, cfg, unroll)
+                      if unroll > 1 and not needs_train_aux else None)
 
         global_step = int(state.step)
         timer = StepTimer()
         for epoch in range(cfg.epochs):
-            for batch in datamodule.train_batches():
-                placed = self._place(batch)
-                state, metrics = train_step(state, placed, self._rng)
-                global_step += 1
+            # device-side double buffering: batches are device_put
+            # ``host_batch_prefetch`` steps ahead of consumption, so the
+            # H2D copy of step N+1 overlaps step N's compute
+            placed_iter = device_prefetch(
+                datamodule.train_batches(), placer=self._place,
+                depth=max(cfg.host_batch_prefetch, 1))
+            if multi_step is not None:
+                placed_iter = _stacked(placed_iter, unroll)
+            for placed in placed_iter:
+                if multi_step is not None:
+                    state, metrics = multi_step(state, placed, self._rng)
+                    global_step += unroll
+                else:
+                    state, metrics = train_step(state, placed, self._rng)
+                    global_step += 1
                 if needs_train_aux:
                     _, aux = eval_step(state, placed)
                     for cb in self.callbacks:
                         cb.on_train_batch_end(aux, self.logger, global_step)
-                if global_step % cfg.log_every == 0:
+                log_hit = (global_step % cfg.log_every < unroll) \
+                    if multi_step else global_step % cfg.log_every == 0
+                if log_hit:
                     # the loss readback is the async-safe sync point
                     timer.mark_step(metrics["loss"])
                     loss_val = float(metrics["loss"])
