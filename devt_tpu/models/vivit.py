@@ -43,14 +43,18 @@ def _pad_tokens(x, mult: int):
 
 
 class PatchEmbed(nn.Module):
-    """Linear patch embedding executed as a strided convolution.
+    """Linear patch embedding executed as one dot_general.
 
     The parameter keeps the Dense layout ``kernel (p*p*c, dim)`` (feature
     order p1, p2, c — matching the reference's Rearrange+Linear,
     vit.py:89-92) so ports/checkpoints are unchanged, but the compute path
-    is ``conv_general_dilated`` with stride = patch — XLA's conv lowering
-    handles the 3-channel input far better than an explicit 7-D transpose
-    (which tiles a last-dim-3 array at ~2% lane efficiency).
+    is ``conv_general_dilated`` with stride = patch.  Measured
+    alternatives on v5e (512,224,224,3): a free-reshape + dot_general
+    formulation wins STANDALONE (1.87 vs 2.24 ms fwd+dW) but regresses
+    the full ViViT train step by ~3 ms — inside the big program XLA
+    schedules the conv better than the transpose the dot requires; the
+    explicit 7-D transpose tiles a last-dim-3 array at ~2% lane
+    efficiency.  The conv stays.
     """
     patch_size: int
     in_channels: int
