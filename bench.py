@@ -220,6 +220,26 @@ def bench_two_modality_fusion(batch_size: int = 32) -> dict:
             "unit": "samples/sec/chip"}
 
 
+def bench_dropout_train(batch_size: int = 32) -> dict:
+    """Config 3b: the reference's TRAINING regime — attention-probability
+    dropout 0.5 (src/config.yaml:10, frame_transformer.py:99) — which now
+    runs the Pallas in-kernel-dropout path instead of falling back to the
+    einsum attention."""
+    from devt_tpu.config import Config
+    from devt_tpu.registry import example_batch
+
+    cfg = Config(model="ptn", batch_size=batch_size, seq_len=13, nlayers=2,
+                 nhid=2048, input_dimension=2048, nhead=8, dropout=0.5,
+                 experts=("video-embeddings", "audio-embeddings"))
+    batch = example_batch(cfg)
+    rate = _device_train_bench(
+        "ptn", batch, batch_size, seq_len=13, nlayers=2, nhid=2048,
+        input_dimension=2048, nhead=8, dropout=0.5,
+        experts=("video-embeddings", "audio-embeddings"))
+    return {"name": "dropout05_train", "value": round(rate, 1),
+            "unit": "samples/sec/chip"}
+
+
 def bench_distillation_train(batch_size: int = 2) -> dict:
     """Config 4: multi-modal distillation (teacher video → image student)
     full train step."""
@@ -300,8 +320,8 @@ def bench_e2e_pipeline(tmp_root: str = "/tmp/devt_bench_corpus") -> dict:
 def run_all() -> list[dict]:
     results = []
     for fn in (bench_single_clip_cpu_fwd, bench_pyramid_inference,
-               bench_two_modality_fusion, bench_distillation_train,
-               bench_e2e_pipeline):
+               bench_two_modality_fusion, bench_dropout_train,
+               bench_distillation_train, bench_e2e_pipeline):
         try:
             results.append(fn())
         except Exception as e:  # noqa: BLE001

@@ -320,7 +320,9 @@ def _fwd_call(x, params, *, heads, scale, kv_len, interpret):
     d = dim // heads
     mlp = params["w1"].shape[1]
     g = _group(bsz, s, dim, mlp, bwd=False)
-    lse_lanes = _round_up(heads, _LANES)
+    # lse needs only ``heads`` lanes; an 8-lane tile (not 128) cuts the
+    # residual's HBM traffic ~16x (it is read back by the backward kernel)
+    lse_lanes = _round_up(heads, 8)
     kernel = functools.partial(_fwd_kernel, heads=heads, d=d, scale=scale,
                                kv_len=kv_len)
     return pl.pallas_call(
