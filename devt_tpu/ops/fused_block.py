@@ -97,17 +97,26 @@ def _mha_fwd(qkv, heads, d, scale, kv_len, dtype):
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
+        # normalize AFTER the PV matmul: a (S, d) row-scale instead of an
+        # (S, S) divide — the VPU work drops by S/d per row
         o = jax.lax.dot_general(
-            (p / l).astype(dtype), v.astype(dtype),
+            p.astype(dtype), v.astype(dtype),
             (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32) / l
         outs.append(o)
         lses.append(m + jnp.log(l))
     return jnp.concatenate(outs, axis=-1), jnp.concatenate(lses, axis=-1)
 
 
-def _mha_bwd(qkv, lse, datt, heads, d, scale, kv_len, dtype):
-    """Gradient wrt packed qkv, recomputing p from lse."""
+def _mha_fwd_bwd(qkv, lse, datt, heads, d, scale, kv_len, dtype):
+    """One-pass attention recompute + backward: returns (att, dqkv).
+
+    The backward kernel needs both the forward output (``att``, for the
+    Wo weight grad) and the qkv gradient.  Computing them together means
+    the score matrix S and the probabilities p = exp(S - lse) are built
+    ONCE per head — a separate ``_mha_fwd`` + ``_mha_bwd`` pair rebuilt
+    them twice (an extra QK^T matmul, mask, and (S, S) exp per head)."""
+    outs = []
     dparts_q, dparts_k, dparts_v = [], [], []
     for i in range(heads):
         q = qkv[:, :, i * d:(i + 1) * d].astype(dtype)
@@ -138,10 +147,12 @@ def _mha_bwd(qkv, lse, datt, heads, d, scale, kv_len, dtype):
         dk = jax.lax.dot_general(
             ds.astype(dtype), q, (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
+        outs.append(o)
         dparts_q.append(dq)
         dparts_k.append(dk)
         dparts_v.append(dv)
-    return jnp.concatenate(dparts_q + dparts_k + dparts_v, axis=-1)
+    return (jnp.concatenate(outs, axis=-1),
+            jnp.concatenate(dparts_q + dparts_k + dparts_v, axis=-1))
 
 
 def _ln_bwd(dy_hat, xhat, rstd):
@@ -222,7 +233,6 @@ def _bwd_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, wo_ref, bo_ref,
     qkv = jax.lax.dot_general(
         a.astype(dtype), wqkv_ref[...].astype(dtype),
         (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    att, _ = _mha_fwd(qkv, heads, d, scale, kv_len, dtype)
     b, xhat2, rstd2 = _ln(u, g2, b2_ref[0].astype(jnp.float32))
     z1 = jax.lax.dot_general(
         b.astype(dtype), w1_ref[...].astype(dtype),
@@ -255,17 +265,15 @@ def _bwd_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, wo_ref, bo_ref,
     db2_ref[...] += jnp.sum(db, axis=(0, 1))[None, :]
     du = dy + _ln_bwd(db * g2, xhat2, rstd2)
 
-    # --- attention out-proj backward ---
+    # --- attention out-proj + core backward (one-pass recompute) ---
     datt = jax.lax.dot_general(
         du.astype(dtype), wo_ref[...].astype(dtype),
         (((2,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    att, dqkv = _mha_fwd_bwd(qkv, lse, datt, heads, d, scale, kv_len, dtype)
     dwo_ref[...] += jax.lax.dot_general(
         flat(att).astype(dtype), flat(du).astype(dtype),
         (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
     dbo_ref[...] += jnp.sum(du, axis=(0, 1))[None, :]
-
-    # --- attention core backward ---
-    dqkv = _mha_bwd(qkv, lse, datt, heads, d, scale, kv_len, dtype)
 
     # --- qkv projection + LN1 backward ---
     da = jax.lax.dot_general(
