@@ -304,13 +304,16 @@ def _param_spec(shape):
 
 def _group(b: int, s: int, dim: int, mlp: int, bwd: bool) -> int:
     """Empirically tuned on v5e at (512, 208, 192, mlp 768) with the
-    raised per-kernel vmem limit: forward fastest at G=8, backward at
-    G=4 (larger groups lose pipelining; smaller lose MXU occupancy)."""
+    raised per-kernel vmem limit: G=8 for both passes.  (Before the
+    one-pass attention recompute the backward only fit G=4; the merge
+    halved the live score/probability buffers and the re-sweep moved the
+    optimum to G=8: 19.50 vs 19.88 ms full-step at G=4, with G=2 at
+    20.62 and forward G=16 neutral.)"""
     per_row = (s * dim * 4 * (8 if bwd else 4)
                + s * s * 4 * 2
                + s * mlp * 4 * (3 if bwd else 2))
-    budget = (16 if bwd else 20) << 20
-    g = min(4 if bwd else 8, max(1, budget // per_row))
+    budget = (28 if bwd else 20) << 20
+    g = min(8, max(1, budget // per_row))
     while g > 1 and b % g:
         g -= 1
     return int(g)
