@@ -138,6 +138,10 @@ class Config(Mapping[str, Any]):
     unroll_steps: int = 1              # >1: scan K full train steps into one
                                        # XLA program (amortizes dispatch;
                                        # parallel/train_step.make_multi_step)
+    wire_format: str = "f32"           # "f32" | "u8": pixel batches cross the
+                                       # host→device link as uint8 (4x fewer
+                                       # bytes) and are normalized on device
+                                       # (data/device_norm.py)
 
     # ------------------------------------------------------------------
     def __post_init__(self) -> None:
@@ -147,6 +151,8 @@ class Config(Mapping[str, Any]):
             raise ValueError(f"unknown precision {self.precision!r}")
         if self.attention_impl not in ("auto", "pallas", "xla"):
             raise ValueError(f"unknown attention impl {self.attention_impl!r}")
+        if self.wire_format not in ("f32", "u8"):
+            raise ValueError(f"unknown wire format {self.wire_format!r}")
 
     # Mapping protocol — call sites written against the reference's
     # ``wandb.config`` dict access keep working (src/main.py:32,37).

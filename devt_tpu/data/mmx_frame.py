@@ -64,7 +64,7 @@ class _FrameClipPacker:
     (devt_tpu/native.py, the DALI-equivalent) when built, with the PIL path
     as fallback and for augmented train images."""
 
-    def __init__(self, config: Config, state: str):
+    def __init__(self, config: Config, state: str, cycle: bool = False):
         self.config = config
         self.state = state
         self.seq_len = config.seq_len
@@ -76,12 +76,31 @@ class _FrameClipPacker:
         from devt_tpu import native
 
         self.native = native if native.available() else None
+        # u8 wire format (config.wire_format): ship decoded pixels as
+        # uint8 and normalize on device (data/device_norm.py) — 4x fewer
+        # bytes over the host→device link.  Only the un-augmented native
+        # clip path qualifies: RandomErasing writes gaussian values in
+        # normalized space, so erasing states stay on the f32 path.
+        erase = state == "train" and not cycle
+        self.vid_u8 = (config.wire_format == "u8"
+                       and self.native is not None
+                       and self.need_vid and not erase)
 
     def empty(self):
         img = np.zeros((self.seq_len, 224, 224, 3), np.float32)
         vid = np.zeros((self.seq_len, self.frame_len, 112, 112, 3),
-                       np.float32)
+                       np.uint8 if self.vid_u8 else np.float32)
         return img, vid
+
+    def sample_dict(self, label, img, vid) -> dict:
+        """Batch fragment with only the modalities the model consumes —
+        an all-zeros unused tensor still costs host→device bytes."""
+        out = {"label": label}
+        if self.need_img:
+            out["img"] = img
+        if self.need_vid:
+            out["vid"] = vid
+        return out
 
     def pack_scene(self, img, vid, slot: int, frame_paths: list[str],
                    rng: random.Random, cycle: bool):
@@ -100,7 +119,11 @@ class _FrameClipPacker:
             else:
                 idxs = [min(k, n - 1) for k in range(self.frame_len)]
             erase = train and not cycle
-            if self.native is not None:
+            if self.vid_u8:
+                frames, _ = self.native.load_batch_u8(
+                    [frame_paths[fi] for fi in idxs], 120, 112)
+                vid[slot] = frames
+            elif self.native is not None:
                 frames, _ = self.native.load_batch_f32(
                     [frame_paths[fi] for fi in idxs], 120, 112,
                     transforms.KINETICS_MEAN, transforms.KINETICS_STD)
@@ -137,7 +160,7 @@ class MMXFrameDataset:
         self.df = df
         self.config = config
         self.state = state
-        self.packer = _FrameClipPacker(config, state)
+        self.packer = _FrameClipPacker(config, state, cycle=False)
 
     def __len__(self) -> int:
         return len(self.df)
@@ -165,8 +188,8 @@ class MMXFrameDataset:
             self.packer.pack_scene(img, vid, slot, list(clip), rng,
                                    cycle=False)
             slot += 1
-        return {"label": np.asarray(collect_labels_19(label), np.float32),
-                "img": img, "vid": vid}
+        return self.packer.sample_dict(
+            np.asarray(collect_labels_19(label), np.float32), img, vid)
 
 
 class MMXLightDataset:
@@ -176,7 +199,7 @@ class MMXLightDataset:
         self.df = df
         self.config = config
         self.state = state
-        self.packer = _FrameClipPacker(config, state)
+        self.packer = _FrameClipPacker(config, state, cycle=True)
 
     def __len__(self) -> int:
         return len(self.df)
@@ -198,7 +221,7 @@ class MMXLightDataset:
                 frames = frame_lists[slot % len(scenes)]
                 self.packer.pack_scene(img, vid, slot, frames, rng,
                                        cycle=True)
-        return {"label": target, "img": img, "vid": vid}
+        return self.packer.sample_dict(target, img, vid)
 
 
 class MMXFrameDataModule:

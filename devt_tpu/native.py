@@ -62,6 +62,10 @@ def _load():
     lib.devt_image_dims.restype = ctypes.c_int
 
     u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.devt_load_batch_u8.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, u8p, i32p, ctypes.c_int]
+    lib.devt_load_batch_u8.restype = ctypes.c_int
     lib.devt_video_info.argtypes = [ctypes.c_char_p, i32p, i32p, i32p]
     lib.devt_video_info.restype = ctypes.c_int
     lib.devt_video_decode_rgb8.argtypes = [
@@ -137,6 +141,33 @@ def load_batch_f32(paths: Sequence[str], resize: int, crop: int,
                             _f32p(std), _f32p(out),
                             status.ctypes.data_as(
                                 ctypes.POINTER(ctypes.c_int)), nthreads)
+    return out, status
+
+
+def load_batch_u8(paths: Sequence[str], resize: int, crop: int,
+                  nthreads: int | None = None
+                  ) -> tuple[np.ndarray, np.ndarray]:
+    """Threaded batch load, u8 wire format → ((N, crop, crop, 3) u8,
+    (N,) status int32).
+
+    Same decode→resize→crop as :func:`load_batch_f32` but normalization
+    is deferred to the accelerator (``devt_tpu.data.device_norm``): the
+    resize already rounds to uint8 internally, so these bytes are exactly
+    the pixels the f32 path normalizes, while the host→device transfer
+    moves 4x fewer bytes."""
+    if nthreads is None:
+        nthreads = min(8, os.cpu_count() or 1)
+    lib = _load()
+    assert lib is not None, "native library unavailable"
+    n = len(paths)
+    out = np.zeros((n, crop, crop, 3), np.uint8)
+    status = np.zeros((n,), np.int32)
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    lib.devt_load_batch_u8(c_paths, n, resize, crop,
+                           out.ctypes.data_as(
+                               ctypes.POINTER(ctypes.c_uint8)),
+                           status.ctypes.data_as(
+                               ctypes.POINTER(ctypes.c_int)), nthreads)
     return out, status
 
 

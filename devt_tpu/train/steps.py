@@ -36,7 +36,13 @@ from devt_tpu.models.frame_transformer import VARIANTS as FT_VARIANTS
 def forward_and_loss(model, config: Config, variables, batch, rng,
                      train: bool):
     """Returns (loss, aux, new_model_state)."""
+    from devt_tpu.data.device_norm import maybe_dequantize_batch
+
     name = config.model
+    # u8 wire format: pixel batches arrive as uint8 and are normalized
+    # here, inside the jitted step (data/device_norm.py)
+    dtype = jnp.bfloat16 if config.precision == "bf16" else jnp.float32
+    batch = maybe_dequantize_batch(batch, dtype=dtype)
     rngs = {"dropout": rng} if train else None
     has_bn = any(k != "params" for k in variables)
     mutable = [k for k in variables if k != "params"] if (train and has_bn) \

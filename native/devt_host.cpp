@@ -207,6 +207,40 @@ int load_image_f32_impl(const char* path, int resize, int crop,
   return fuse_postprocess(img, resize, crop, mean, stddev, out);
 }
 
+// u8 wire-format variant: same shorter-side resize + center crop, but the
+// (v/255 - mean)/std affine is deferred to the accelerator.  The resize
+// already rounds to uint8 (resize_bilinear), so these are byte-identical
+// to the pixels the f32 path normalizes — no extra quantization — while
+// the host→device transfer moves 4x fewer bytes (the link, not the
+// decode, is the e2e bottleneck on tunneled/PCIe-attached hosts).
+int fuse_postprocess_u8(const Image& img, int resize, int crop,
+                        uint8_t* out) {
+  int nw, nh;
+  if (img.w <= img.h) {
+    nw = resize;
+    nh = std::max(1, int(std::lround(double(img.h) * resize / img.w)));
+  } else {
+    nh = resize;
+    nw = std::max(1, int(std::lround(double(img.w) * resize / img.h)));
+  }
+  Image r = resize_bilinear(img, nw, nh);
+  int left = int(std::nearbyint((nw - crop) / 2.0));
+  int top = int(std::nearbyint((nh - crop) / 2.0));
+  if (left < 0 || top < 0) return -2;
+  for (int y = 0; y < crop; ++y) {
+    const uint8_t* srow = r.rgb.data() + (size_t(top + y) * nw + left) * 3;
+    std::memcpy(out + size_t(y) * crop * 3, srow, size_t(crop) * 3);
+  }
+  return 0;
+}
+
+int load_image_u8_impl(const char* path, int resize, int crop,
+                       uint8_t* out) {
+  Image img = decode_file(path);
+  if (!img.ok) return -1;
+  return fuse_postprocess_u8(img, resize, crop, out);
+}
+
 // ---------------------------------------------------------------------------
 // Video decode: MJPEG — raw concatenated-JPEG streams and MJPG-in-AVI.
 //
@@ -346,6 +380,28 @@ int devt_load_batch_f32(const char** paths, int n, int resize, int crop,
       float* dst = out + size_t(i) * stride;
       int rc = load_image_f32_impl(paths[i], resize, crop, mean, stddev, dst);
       if (rc != 0) std::memset(dst, 0, stride * sizeof(float));
+      if (status) status[i] = rc;
+    }
+  };
+  int nt = std::max(1, std::min(nthreads, n));
+  std::vector<std::thread> threads;
+  threads.reserve(nt);
+  for (int t = 0; t < nt; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+  return 0;
+}
+
+// Threaded batch, u8 wire format: n paths → out[n, crop, crop, 3] u8.
+// Same fault-tolerance contract as the f32 batch (failures leave zeros).
+int devt_load_batch_u8(const char** paths, int n, int resize, int crop,
+                       uint8_t* out, int* status, int nthreads) {
+  const size_t stride = size_t(crop) * crop * 3;
+  std::atomic<int> next(0);
+  auto worker = [&]() {
+    for (int i = next.fetch_add(1); i < n; i = next.fetch_add(1)) {
+      uint8_t* dst = out + size_t(i) * stride;
+      int rc = load_image_u8_impl(paths[i], resize, crop, dst);
+      if (rc != 0) std::memset(dst, 0, stride);
       if (status) status[i] = rc;
     }
   };

@@ -52,6 +52,42 @@ def test_batch_load_threads_and_fault_tolerance(image_files):
     assert np.isfinite(out).all()
 
 
+def test_u8_wire_matches_f32_path(image_files):
+    """u8 wire format: device-side (v/255 - mean)/std over the u8 batch
+    must reproduce the host f32 batch exactly (the native resize rounds
+    to uint8 in both paths, so only the normalize moves)."""
+    mean, std = transforms.KINETICS_MEAN, transforms.KINETICS_STD
+    paths = image_files + ["/nonexistent/file.jpg"]
+    f32, st_f = native.load_batch_f32(paths, 120, 112, mean, std)
+    u8, st_u = native.load_batch_u8(paths, 120, 112)
+    assert u8.dtype == np.uint8 and u8.shape == (4, 112, 112, 3)
+    assert st_u.tolist() == st_f.tolist()
+    assert np.all(u8[3] == 0)           # fault tolerance: zeros on failure
+
+    import jax.numpy as jnp
+
+    from devt_tpu.data.device_norm import dequantize
+
+    got = np.asarray(dequantize(jnp.asarray(u8), mean, std,
+                                dtype=jnp.float32))
+    np.testing.assert_allclose(got[:3], f32[:3], atol=1e-5)
+
+
+def test_maybe_dequantize_batch_keys():
+    import jax.numpy as jnp
+
+    from devt_tpu.data.device_norm import maybe_dequantize_batch
+
+    vid = jnp.full((2, 3, 4, 4, 3), 128, jnp.uint8)
+    batch = {"vid": vid, "label": jnp.zeros((2, 19))}
+    out = maybe_dequantize_batch(batch, dtype=jnp.float32)
+    assert out["vid"].dtype == jnp.float32
+    ref = (128 / 255.0 - transforms.KINETICS_MEAN) / transforms.KINETICS_STD
+    np.testing.assert_allclose(np.asarray(out["vid"][0, 0, 0, 0]), ref,
+                               atol=1e-5)
+    assert out["label"] is batch["label"]      # non-pixel leaves untouched
+
+
 def test_ann_index_exact_knn(tmp_path):
     rng = np.random.default_rng(1)
     data = rng.standard_normal((200, 15)).astype(np.float32)
