@@ -54,7 +54,10 @@ class PatchEmbed(nn.Module):
     the full ViViT train step by ~3 ms — inside the big program XLA
     schedules the conv better than the transpose the dot requires; the
     explicit 7-D transpose tiles a last-dim-3 array at ~2% lane
-    efficiency.  The conv stays.
+    efficiency.  A transpose-FREE im2col dot ((BT,14,16,14,48) ·
+    (16,48,D), both reshapes contiguous) is also worse: full step 23.1
+    vs 19.4 ms — the (16, 48)-shaped contraction tiles the MXU poorly.
+    The conv stays.
     """
     patch_size: int
     in_channels: int

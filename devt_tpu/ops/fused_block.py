@@ -52,7 +52,7 @@ def _ln(x32, gamma, beta):
     var = jnp.mean((x32 - mu) ** 2, axis=-1, keepdims=True)
     rstd = jax.lax.rsqrt(var + LN_EPS)
     xhat = (x32 - mu) * rstd
-    return xhat * gamma + beta, xhat, rstd
+    return xhat * gamma + beta, xhat, mu, rstd
 
 
 _GELU_C = math.sqrt(2.0 / math.pi)
@@ -80,20 +80,27 @@ def _dgelu(z32):
     return 0.5 * (1.0 + t) + 0.5 * z32 * (1.0 - t * t) * dinner
 
 
+def _mask_bias(shape, kv_len):
+    """Additive key-padding mask, built ONCE per kernel instead of an
+    iota+compare+select per head per pass: masked columns get NEG_INF,
+    which exp() turns into exact zeros downstream."""
+    col = jax.lax.broadcasted_iota(jnp.int32, shape, len(shape) - 1)
+    return jnp.where(col < kv_len, 0.0, NEG_INF)
+
+
 def _mha_fwd(qkv, heads, d, scale, kv_len, dtype):
     """In-VMEM attention.  qkv (G, S, 3HD) f32-accum → (att (G,S,HD) f32,
     lse (G,S,H) f32)."""
     outs = []
     lses = []
+    bias = _mask_bias((qkv.shape[0], qkv.shape[1], qkv.shape[1]), kv_len)
     for i in range(heads):
         q = qkv[:, :, i * d:(i + 1) * d]
         k = qkv[:, :, (heads + i) * d:(heads + i + 1) * d]
         v = qkv[:, :, (2 * heads + i) * d:(2 * heads + i + 1) * d]
         s = jax.lax.dot_general(
             q.astype(dtype), k.astype(dtype), (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32) * scale
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
-        s = jnp.where(col < kv_len, s, NEG_INF)
+            preferred_element_type=jnp.float32) * scale + bias
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
@@ -118,6 +125,7 @@ def _mha_fwd_bwd(qkv, lse, datt, heads, d, scale, kv_len, dtype):
     them twice (an extra QK^T matmul, mask, and (S, S) exp per head)."""
     outs = []
     dparts_q, dparts_k, dparts_v = [], [], []
+    bias = _mask_bias((qkv.shape[0], qkv.shape[1], qkv.shape[1]), kv_len)
     for i in range(heads):
         q = qkv[:, :, i * d:(i + 1) * d].astype(dtype)
         k = qkv[:, :, (heads + i) * d:(heads + i + 1) * d].astype(dtype)
@@ -126,9 +134,7 @@ def _mha_fwd_bwd(qkv, lse, datt, heads, d, scale, kv_len, dtype):
         l_i = lse[:, :, i:i + 1]
         s = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32) * scale
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
-        s = jnp.where(col < kv_len, s, NEG_INF)
+            preferred_element_type=jnp.float32) * scale + bias
         p = jnp.exp(s - l_i)
         o = jax.lax.dot_general(
             p.astype(dtype), v, (((2,), (1,)), ((0,), (0,))),
@@ -173,8 +179,8 @@ def _fwd_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, wo_ref, bo_ref,
                 *, heads: int, d: int, scale: float, kv_len: int):
     dtype = x_ref.dtype
     x = x_ref[...].astype(jnp.float32)                       # (G, S, D)
-    a, _, _ = _ln(x, g1_ref[0].astype(jnp.float32),
-                  b1_ref[0].astype(jnp.float32))
+    a, _, mu1, rstd1 = _ln(x, g1_ref[0].astype(jnp.float32),
+                           b1_ref[0].astype(jnp.float32))
     qkv = jax.lax.dot_general(
         a.astype(dtype), wqkv_ref[...].astype(dtype),
         (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32)
@@ -183,8 +189,8 @@ def _fwd_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, wo_ref, bo_ref,
         att.astype(dtype), wo_ref[...].astype(dtype),
         (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32)
     u = x + o + bo_ref[0].astype(jnp.float32)
-    b, _, _ = _ln(u, g2_ref[0].astype(jnp.float32),
-                  b2_ref[0].astype(jnp.float32))
+    b, _, mu2, rstd2 = _ln(u, g2_ref[0].astype(jnp.float32),
+                           b2_ref[0].astype(jnp.float32))
     z1 = jax.lax.dot_general(
         b.astype(dtype), w1_ref[...].astype(dtype),
         (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32) \
@@ -196,8 +202,12 @@ def _fwd_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, wo_ref, bo_ref,
         + bb2_ref[0].astype(jnp.float32)
     y_ref[...] = y.astype(y_ref.dtype)
     u_ref[...] = u.astype(u_ref.dtype)
-    lse_ref[...] = jnp.pad(lse, ((0, 0), (0, 0),
-                                 (0, lse_ref.shape[-1] - heads)))
+    # residual lanes: [lse (H), mu1, rstd1, mu2, rstd2] — storing the LN
+    # stats lets the backward rebuild xhat elementwise instead of
+    # re-reducing mean/var over the feature axis
+    res = jnp.concatenate([lse, mu1, rstd1, mu2, rstd2], axis=-1)
+    lse_ref[...] = jnp.pad(res, ((0, 0), (0, 0),
+                                 (0, lse_ref.shape[-1] - heads - 4)))
 
 
 # ---------------------------------------------------------------------------
@@ -224,16 +234,22 @@ def _bwd_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, wo_ref, bo_ref,
     x = x_ref[...].astype(jnp.float32)
     u = u_ref[...].astype(jnp.float32)
     dy = dy_ref[...].astype(jnp.float32)
-    lse = lse_ref[...][:, :, :heads]
+    res = lse_ref[...]
+    lse = res[:, :, :heads]
+    mu1, rstd1 = res[:, :, heads:heads + 1], res[:, :, heads + 1:heads + 2]
+    mu2, rstd2 = res[:, :, heads + 2:heads + 3], res[:, :, heads + 3:heads + 4]
     g1 = g1_ref[0].astype(jnp.float32)
     g2 = g2_ref[0].astype(jnp.float32)
 
-    # --- recompute forward pieces ---
-    a, xhat1, rstd1 = _ln(x, g1, b1_ref[0].astype(jnp.float32))
+    # --- recompute forward pieces (LN stats come from the residual:
+    #     xhat is elementwise, no feature-axis re-reductions) ---
+    xhat1 = (x - mu1) * rstd1
+    a = xhat1 * g1 + b1_ref[0].astype(jnp.float32)
     qkv = jax.lax.dot_general(
         a.astype(dtype), wqkv_ref[...].astype(dtype),
         (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    b, xhat2, rstd2 = _ln(u, g2, b2_ref[0].astype(jnp.float32))
+    xhat2 = (u - mu2) * rstd2
+    b = xhat2 * g2 + b2_ref[0].astype(jnp.float32)
     z1 = jax.lax.dot_general(
         b.astype(dtype), w1_ref[...].astype(dtype),
         (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32) \
@@ -334,9 +350,10 @@ def _fwd_call(x, params, *, heads, scale, kv_len, interpret):
     d = dim // heads
     mlp = params["w1"].shape[1]
     g = _group(bsz, s, dim, mlp, bwd=False)
-    # lse needs only ``heads`` lanes; an 8-lane tile (not 128) cuts the
-    # residual's HBM traffic ~16x (it is read back by the backward kernel)
-    lse_lanes = _round_up(heads, 8)
+    # the residual needs only heads+4 lanes (lse + two LN mean/rstd
+    # pairs); an 8-lane tile (not 128) keeps its HBM traffic ~16x below a
+    # full-width tile (it is read back by the backward kernel)
+    lse_lanes = _round_up(heads + 4, 8)
     kernel = functools.partial(_fwd_kernel, heads=heads, d=d, scale=scale,
                                kv_len=kv_len)
     return pl.pallas_call(
@@ -422,15 +439,15 @@ fused_vit_block.defvjp(_fused_fwd, _fused_bwd)
 def reference_vit_block(x, params, heads, scale, kv_len):
     """Unfused reference implementation (testing / non-TPU fallback)."""
     x32 = x.astype(jnp.float32)
-    a, _, _ = _ln(x32, params["g1"].astype(jnp.float32),
-                  params["b1"].astype(jnp.float32))
+    a, _, _, _ = _ln(x32, params["g1"].astype(jnp.float32),
+                     params["b1"].astype(jnp.float32))
     qkv = (a @ params["wqkv"].astype(jnp.float32))
     d = x.shape[-1] // heads
     att, _ = _mha_fwd(qkv, heads, d, scale, kv_len, jnp.float32)
     u = x32 + att @ params["wo"].astype(jnp.float32) \
         + params["bo"].astype(jnp.float32)
-    b, _, _ = _ln(u, params["g2"].astype(jnp.float32),
-                  params["b2"].astype(jnp.float32))
+    b, _, _, _ = _ln(u, params["g2"].astype(jnp.float32),
+                     params["b2"].astype(jnp.float32))
     h = _gelu(b @ params["w1"].astype(jnp.float32)
               + params["bb1"].astype(jnp.float32))
     y = u + h @ params["w2"].astype(jnp.float32) \
