@@ -242,6 +242,20 @@ def bench_dropout_train(batch_size: int = 32) -> dict:
             "unit": "samples/sec/chip"}
 
 
+def bench_vivit_dropout_train(batch_size: int = 32) -> dict:
+    """Config 3c: the flagship ViViT train step WITH block dropout 0.1 —
+    exercises the fused-ViT-block kernel's in-kernel dropout (the three
+    reference sites, src/models/vit.py:23,25,43) instead of the unfused
+    nn.Dropout fallback.  Directly comparable to the north-star number
+    (same model/batch, dropout on)."""
+    r = run_bench(batch_size=batch_size, iters=10,
+                  model_kwargs={"dropout": 0.1})
+    return {"name": "vivit_dropout01_train",
+            "value": r["value"], "unit": "clips/sec/chip",
+            "note": "north-star config with dropout 0.1 on the fused "
+                    "in-kernel path"}
+
+
 def bench_distillation_train(batch_size: int = 2) -> dict:
     """Config 4: multi-modal distillation (teacher video → image student)
     full train step."""
@@ -327,7 +341,8 @@ def run_all() -> list[dict]:
     results = []
     for fn in (bench_single_clip_cpu_fwd, bench_pyramid_inference,
                bench_two_modality_fusion, bench_dropout_train,
-               bench_distillation_train, bench_e2e_pipeline):
+               bench_vivit_dropout_train, bench_distillation_train,
+               bench_e2e_pipeline):
         try:
             results.append(fn())
         except Exception as e:  # noqa: BLE001

@@ -182,7 +182,10 @@ class ViTBlock(nn.Module):
 
         if self.attention_impl == "xla":
             return False
-        if self.dropout > 0.0 and not deterministic:
+        if self.dropout > 0.0 and not deterministic \
+                and _jax.default_backend() != "tpu":
+            # in-kernel dropout needs the hardware PRNG — interpret mode
+            # (CPU) stays on the unfused nn.Dropout path
             return False
         if self.heads * self.dim_head != self.dim:
             return False
@@ -215,11 +218,15 @@ class ViTBlock(nn.Module):
                 "w1": w1.astype(cast), "bb1": bb1.reshape(1, -1),
                 "w2": w2.astype(cast), "bb2": bb2.reshape(1, -1),
             }
+            train_dropout = self.dropout > 0.0 and not deterministic
             return fused_vit_block(
                 x.astype(cast), params, self.heads,
                 self.dim_head ** -0.5,
                 kv_len if kv_len is not None else x.shape[1],
-                self.attention_impl == "fused_interpret")
+                self.attention_impl == "fused_interpret",
+                dropout_rate=self.dropout if train_dropout else 0.0,
+                dropout_rng=self.make_rng("dropout") if train_dropout
+                else None)
 
         h = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype,
                          name="attn_norm")(x)

@@ -34,6 +34,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# single source of truth for dropout-mask semantics (cutoff + keep bits)
+from devt_tpu.ops.flash_attention import _random_keep
+
 # v5e has far more physical VMEM than the compiler's 16MB default scoped
 # limit; raising it per-kernel lets larger sequence groups pipeline.
 _VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
@@ -175,8 +178,18 @@ def _ln_bwd(dy_hat, xhat, rstd):
 
 def _fwd_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, wo_ref, bo_ref,
                 g2_ref, b2_ref, w1_ref, bb1_ref, w2_ref, bb2_ref,
-                y_ref, u_ref, lse_ref,
-                *, heads: int, d: int, scale: float, kv_len: int):
+                *refs, heads: int, d: int, scale: float, kv_len: int,
+                dropout_rate: float = 0.0):
+    if dropout_rate > 0.0:
+        seed_ref, y_ref, u_ref, lse_ref = refs
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        ik = 1.0 / (1.0 - dropout_rate)
+
+        def drop(t):
+            return jnp.where(_random_keep(t.shape, dropout_rate),
+                             t * ik, 0.0)
+    else:
+        y_ref, u_ref, lse_ref = refs
     dtype = x_ref.dtype
     x = x_ref[...].astype(jnp.float32)                       # (G, S, D)
     a, _, mu1, rstd1 = _ln(x, g1_ref[0].astype(jnp.float32),
@@ -185,10 +198,16 @@ def _fwd_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, wo_ref, bo_ref,
         a.astype(dtype), wqkv_ref[...].astype(dtype),
         (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32)
     att, lse = _mha_fwd(qkv, heads, d, scale, kv_len, dtype)
-    o = jax.lax.dot_general(
+    oproj = jax.lax.dot_general(
         att.astype(dtype), wo_ref[...].astype(dtype),
-        (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    u = x + o + bo_ref[0].astype(jnp.float32)
+        (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32) \
+        + bo_ref[0].astype(jnp.float32)
+    # reference dropout sites (src/models/vit.py:23,25,43): attention
+    # out-projection, FFN hidden, FFN output — mask bits drawn in this
+    # order in BOTH passes so the backward masks are identical
+    if dropout_rate > 0.0:
+        oproj = drop(oproj)
+    u = x + oproj
     b, _, mu2, rstd2 = _ln(u, g2_ref[0].astype(jnp.float32),
                            b2_ref[0].astype(jnp.float32))
     z1 = jax.lax.dot_general(
@@ -196,10 +215,15 @@ def _fwd_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, wo_ref, bo_ref,
         (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32) \
         + bb1_ref[0].astype(jnp.float32)
     h = _gelu(z1)
-    y = u + jax.lax.dot_general(
+    if dropout_rate > 0.0:
+        h = drop(h)
+    z2 = jax.lax.dot_general(
         h.astype(dtype), w2_ref[...].astype(dtype),
         (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32) \
         + bb2_ref[0].astype(jnp.float32)
+    if dropout_rate > 0.0:
+        z2 = drop(z2)
+    y = u + z2
     y_ref[...] = y.astype(y_ref.dtype)
     u_ref[...] = u.astype(u_ref.dtype)
     # residual lanes: [lse (H), mu1, rstd1, mu2, rstd2] — storing the LN
@@ -218,12 +242,30 @@ def _fwd_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, wo_ref, bo_ref,
 def _bwd_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, wo_ref, bo_ref,
                 g2_ref, b2_ref, w1_ref, bb1_ref, w2_ref, bb2_ref,
                 u_ref, lse_ref, dy_ref,
-                dx_ref, dg1_ref, db1_ref, dwqkv_ref, dwo_ref, dbo_ref,
-                dg2_ref, db2_ref, dw1_ref, dbb1_ref, dw2_ref, dbb2_ref,
-                *, heads: int, d: int, scale: float, kv_len: int):
+                *refs, heads: int, d: int, scale: float, kv_len: int,
+                dropout_rate: float = 0.0):
+    if dropout_rate > 0.0:
+        seed_ref = refs[0]
+        refs = refs[1:]
+    (dx_ref, dg1_ref, db1_ref, dwqkv_ref, dwo_ref, dbo_ref,
+     dg2_ref, db2_ref, dw1_ref, dbb1_ref, dw2_ref, dbb2_ref) = refs
     step = pl.program_id(0)
     n_steps = pl.num_programs(0)
     dtype = x_ref.dtype
+
+    if dropout_rate > 0.0:
+        # regenerate the forward's mask bits: same seed, same draw order
+        # (out-proj (G,S,D), FFN hidden (G,S,mlp), FFN out (G,S,D))
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        ik = 1.0 / (1.0 - dropout_rate)
+        gsz, s, dim = x_ref.shape
+        mlp = w1_ref.shape[1]
+        keep_o = _random_keep((gsz, s, dim), dropout_rate)
+        keep_h = _random_keep((gsz, s, mlp), dropout_rate)
+        keep_y = _random_keep((gsz, s, dim), dropout_rate)
+
+        def drop(t, keep):
+            return jnp.where(keep, t * ik, 0.0)
 
     @pl.when(step == 0)
     def _init():
@@ -255,18 +297,24 @@ def _bwd_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, wo_ref, bo_ref,
         (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32) \
         + bb1_ref[0].astype(jnp.float32)
     h = _gelu(z1)
+    if dropout_rate > 0.0:
+        h = drop(h, keep_h)            # the forward's DROPPED hidden
 
     def flat(t):  # (G, S, F) → (G*S, F) for the weight-grad contractions
         return t.reshape(-1, t.shape[-1])
 
     # --- FFN backward ---
+    # dz2 = grad at the (pre-final-dropout) FFN output
+    dz2 = dy if dropout_rate == 0.0 else drop(dy, keep_y)
     dh = jax.lax.dot_general(
-        dy.astype(dtype), w2_ref[...].astype(dtype),
+        dz2.astype(dtype), w2_ref[...].astype(dtype),
         (((2,), (1,)), ((), ())), preferred_element_type=jnp.float32)
     dw2_ref[...] += jax.lax.dot_general(
-        flat(h).astype(dtype), flat(dy).astype(dtype),
+        flat(h).astype(dtype), flat(dz2).astype(dtype),
         (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    dbb2_ref[...] += jnp.sum(dy, axis=(0, 1))[None, :]
+    dbb2_ref[...] += jnp.sum(dz2, axis=(0, 1))[None, :]
+    if dropout_rate > 0.0:
+        dh = drop(dh, keep_h)
     dz1 = dh * _dgelu(z1)
     dw1_ref[...] += jax.lax.dot_general(
         flat(b).astype(dtype), flat(dz1).astype(dtype),
@@ -282,14 +330,15 @@ def _bwd_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, wo_ref, bo_ref,
     du = dy + _ln_bwd(db * g2, xhat2, rstd2)
 
     # --- attention out-proj + core backward (one-pass recompute) ---
+    doproj = du if dropout_rate == 0.0 else drop(du, keep_o)
     datt = jax.lax.dot_general(
-        du.astype(dtype), wo_ref[...].astype(dtype),
+        doproj.astype(dtype), wo_ref[...].astype(dtype),
         (((2,), (1,)), ((), ())), preferred_element_type=jnp.float32)
     att, dqkv = _mha_fwd_bwd(qkv, lse, datt, heads, d, scale, kv_len, dtype)
     dwo_ref[...] += jax.lax.dot_general(
-        flat(att).astype(dtype), flat(du).astype(dtype),
+        flat(att).astype(dtype), flat(doproj).astype(dtype),
         (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    dbo_ref[...] += jnp.sum(du, axis=(0, 1))[None, :]
+    dbo_ref[...] += jnp.sum(doproj, axis=(0, 1))[None, :]
 
     # --- qkv projection + LN1 backward ---
     da = jax.lax.dot_general(
@@ -345,21 +394,29 @@ def _param_specs(params):
     return [_param_spec(p.shape) for p in _params_tuple(params)]
 
 
-def _fwd_call(x, params, *, heads, scale, kv_len, interpret):
+def _fwd_call(x, params, seed, *, heads, scale, kv_len, rate, interpret):
     bsz, s, dim = x.shape
     d = dim // heads
     mlp = params["w1"].shape[1]
-    g = _group(bsz, s, dim, mlp, bwd=False)
+    # with dropout the grid grouping MUST match the backward call: the
+    # PRNG stream is seeded per grid step, so a different g would pair
+    # rows with different mask bits
+    g = _group(bsz, s, dim, mlp, bwd=rate > 0.0)
     # the residual needs only heads+4 lanes (lse + two LN mean/rstd
     # pairs); an 8-lane tile (not 128) keeps its HBM traffic ~16x below a
     # full-width tile (it is read back by the backward kernel)
     lse_lanes = _round_up(heads + 4, 8)
     kernel = functools.partial(_fwd_kernel, heads=heads, d=d, scale=scale,
-                               kv_len=kv_len)
+                               kv_len=kv_len, dropout_rate=rate)
+    in_specs = [_row_spec(g, s, dim)] + _param_specs(params)
+    args = [x, *_params_tuple(params)]
+    if rate > 0.0:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        args.append(seed)
     return pl.pallas_call(
         kernel,
         grid=(bsz // g,),
-        in_specs=[_row_spec(g, s, dim)] + _param_specs(params),
+        in_specs=in_specs,
         out_specs=(
             _row_spec(g, s, dim),
             _row_spec(g, s, dim),
@@ -372,16 +429,17 @@ def _fwd_call(x, params, *, heads, scale, kv_len, interpret):
         ),
         compiler_params=None if interpret else _VMEM_LIMIT,
         interpret=interpret,
-    )(x, *_params_tuple(params))
+    )(*args)
 
 
-def _bwd_call(x, params, u, lse, dy, *, heads, scale, kv_len, interpret):
+def _bwd_call(x, params, seed, u, lse, dy, *, heads, scale, kv_len, rate,
+              interpret):
     bsz, s, dim = x.shape
     d = dim // heads
     mlp = params["w1"].shape[1]
     g = _group(bsz, s, dim, mlp, bwd=True)
     kernel = functools.partial(_bwd_kernel, heads=heads, d=d, scale=scale,
-                               kv_len=kv_len)
+                               kv_len=kv_len, dropout_rate=rate)
     pt = _params_tuple(params)
     grad_shapes = tuple(
         jax.ShapeDtypeStruct(p.shape if p.ndim == 2 else (1, p.shape[-1]),
@@ -389,17 +447,22 @@ def _bwd_call(x, params, u, lse, dy, *, heads, scale, kv_len, interpret):
     grad_specs = tuple(
         _param_spec(sh.shape) for sh in grad_shapes)
     lse_lanes = lse.shape[-1]
+    in_specs = [_row_spec(g, s, dim)] + _param_specs(params) \
+        + [_row_spec(g, s, dim), _row_spec(g, s, lse_lanes),
+           _row_spec(g, s, dim)]
+    args = [x, *pt, u, lse, dy]
+    if rate > 0.0:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        args.append(seed)
     out = pl.pallas_call(
         kernel,
         grid=(bsz // g,),
-        in_specs=[_row_spec(g, s, dim)] + _param_specs(params)
-        + [_row_spec(g, s, dim), _row_spec(g, s, lse_lanes),
-           _row_spec(g, s, dim)],
+        in_specs=in_specs,
         out_specs=(_row_spec(g, s, dim),) + grad_specs,
         out_shape=(jax.ShapeDtypeStruct(x.shape, x.dtype),) + grad_shapes,
         compiler_params=None if interpret else _VMEM_LIMIT,
         interpret=interpret,
-    )(x, *pt, u, lse, dy)
+    )(*args)
     dx, *dparams = out
     names = ("g1", "b1", "wqkv", "wo", "bo", "g2", "b2", "w1", "bb1",
              "w2", "bb2")
@@ -410,30 +473,51 @@ def _bwd_call(x, params, u, lse, dy, *, heads, scale, kv_len, interpret):
     return dx, grads
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
-def fused_vit_block(x, params, heads, scale, kv_len, interpret=False):
-    """One fused pre-norm ViT block.  x (B, S, D); params dict with
-    g1/b1/wqkv/wo/bo/g2/b2/w1/bb1/w2/bb2.  S must be the (single) kv block;
-    ``kv_len`` masks tile padding."""
-    y, _, _ = _fwd_call(x, params, heads=heads, scale=scale, kv_len=kv_len,
-                        interpret=interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _fused_block(x, params, seed, heads, scale, kv_len, rate, interpret):
+    y, _, _ = _fwd_call(x, params, seed, heads=heads, scale=scale,
+                        kv_len=kv_len, rate=rate, interpret=interpret)
     return y
 
 
-def _fused_fwd(x, params, heads, scale, kv_len, interpret):
-    y, u, lse = _fwd_call(x, params, heads=heads, scale=scale,
-                          kv_len=kv_len, interpret=interpret)
-    return y, (x, params, u, lse)
+def _fused_fwd(x, params, seed, heads, scale, kv_len, rate, interpret):
+    y, u, lse = _fwd_call(x, params, seed, heads=heads, scale=scale,
+                          kv_len=kv_len, rate=rate, interpret=interpret)
+    return y, (x, params, seed, u, lse)
 
 
-def _fused_bwd(heads, scale, kv_len, interpret, res, dy):
-    x, params, u, lse = res
-    dx, grads = _bwd_call(x, params, u, lse, dy, heads=heads, scale=scale,
-                          kv_len=kv_len, interpret=interpret)
-    return dx, grads
+def _fused_bwd(heads, scale, kv_len, rate, interpret, res, dy):
+    x, params, seed, u, lse = res
+    dx, grads = _bwd_call(x, params, seed, u, lse, dy, heads=heads,
+                          scale=scale, kv_len=kv_len, rate=rate,
+                          interpret=interpret)
+    return dx, grads, jnp.zeros_like(seed)
 
 
-fused_vit_block.defvjp(_fused_fwd, _fused_bwd)
+_fused_block.defvjp(_fused_fwd, _fused_bwd)
+
+
+def fused_vit_block(x, params, heads, scale, kv_len, interpret=False,
+                    dropout_rate=0.0, dropout_rng=None):
+    """One fused pre-norm ViT block.  x (B, S, D); params dict with
+    g1/b1/wqkv/wo/bo/g2/b2/w1/bb1/w2/bb2.  S must be the (single) kv block;
+    ``kv_len`` masks tile padding.
+
+    ``dropout_rate`` > 0 (with a ``dropout_rng``) applies the reference's
+    three block dropout sites (attention out-projection, FFN hidden, FFN
+    output — src/models/vit.py:23,25,43) INSIDE the kernel via the
+    hardware PRNG; the backward pass regenerates the identical masks.
+    Statistically equivalent to the unfused path's nn.Dropout calls, not
+    bit-equal (different RNG streams)."""
+    rate = float(dropout_rate)
+    if rate > 0.0:
+        assert dropout_rng is not None, "dropout_rate > 0 needs a rng"
+        seed = jax.random.randint(dropout_rng, (1,), 0, 2 ** 30,
+                                  dtype=jnp.int32)
+    else:
+        seed = jnp.zeros((1,), jnp.int32)
+    return _fused_block(x, params, seed, heads, scale, kv_len, rate,
+                        interpret)
 
 
 def reference_vit_block(x, params, heads, scale, kv_len):
