@@ -79,10 +79,14 @@ class RunningBuffers:
         self.paths: list = []
 
     def append(self, aux: dict) -> None:
-        self.probs.append(np.asarray(aux["probs"]))
-        self.labels.append(np.asarray(aux["label"]))
+        # bf16 device arrays arrive as ml_dtypes.bfloat16, whose numpy
+        # dtype kind sklearn rejects as non-numeric — widen at the host
+        # boundary so every downstream metric sees a plain float dtype
+        self.probs.append(np.asarray(aux["probs"], dtype=np.float32))
+        self.labels.append(np.asarray(aux["label"], dtype=np.float32))
         if aux.get("embedding") is not None:
-            self.embeddings.append(np.asarray(aux["embedding"]))
+            self.embeddings.append(
+                np.asarray(aux["embedding"], dtype=np.float32))
         if aux.get("path") is not None:
             self.paths.extend(list(aux["path"]))
 

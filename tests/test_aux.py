@@ -76,6 +76,31 @@ def test_ssl_online_probe_learns():
     assert acc > 0.9
 
 
+def test_buffers_widen_bf16_for_sklearn_metrics():
+    """bf16 eval outputs (ml_dtypes.bfloat16 — numpy dtype kind 'V',
+    which sklearn rejects as non-numeric) must be widened at the buffer
+    boundary so the TransformerEval metric stack runs.  Regression: a
+    bf16 ViViT val epoch crashed average_precision_score."""
+    from devt_tpu.train.metrics import (average_precision,
+                                        f1_threshold_sweep, genre_report)
+
+    rng = np.random.default_rng(0)
+    buffers = RunningBuffers()
+    for _ in range(2):
+        buffers.append({
+            "probs": jnp.asarray(rng.random((4, 5)), jnp.bfloat16),
+            "label": jnp.asarray(
+                (rng.random((4, 5)) < 0.4).astype(np.float32),
+                jnp.bfloat16),
+        })
+    labels, probs = buffers.concatenated()
+    assert probs.dtype == np.float32 and labels.dtype == np.float32
+    assert np.isfinite(average_precision(labels, probs, "samples"))
+    assert f1_threshold_sweep(labels, probs)
+    assert "precision" in genre_report(labels, probs,
+                                       [f"c{i}" for i in range(5)])
+
+
 def test_jsonl_logger_roundtrip(tmp_path):
     logger = JsonlLogger(log_dir=str(tmp_path), name="t")
     logger.log({"a": 1.5, "b": "text"}, step=3)
