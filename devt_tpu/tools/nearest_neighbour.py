@@ -61,6 +61,30 @@ class RetrievalIndex:
         return self.neighbours(rec["embedding"], k)
 
 
+def export_projector(index: "RetrievalIndex", out_dir: str) -> str:
+    """Write the embeddings in TensorBoard-projector format — the
+    capability twin of the reference's ``tsne_projection``
+    (src/data_processing/tools/nearest_neighbour.py:72-79, which uses
+    ``SummaryWriter.add_embedding``).  Emits ``vectors.tsv`` +
+    ``metadata.tsv`` + ``projector_config.pbtxt`` directly (loadable by
+    TensorBoard's projector plugin or https://projector.tensorflow.org),
+    so no torch/tensorboard dependency is needed."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "vectors.tsv"), "w") as f:
+        for rid in index.ids:
+            vec = np.asarray(index.records[rid]["embedding"], np.float32)
+            f.write("\t".join(f"{v:.6g}" for v in vec.ravel()) + "\n")
+    with open(os.path.join(out_dir, "metadata.tsv"), "w") as f:
+        for rid in index.ids:
+            f.write(str(index.records[rid].get("path", rid)) + "\n")
+    with open(os.path.join(out_dir, "projector_config.pbtxt"), "w") as f:
+        f.write('embeddings {\n  tensor_path: "vectors.tsv"\n'
+                '  metadata_path: "metadata.tsv"\n}\n')
+    return out_dir
+
+
 def format_result(rid: int, dist: float, rec: dict) -> str:
     return (f"#{rid:<5} d={dist:.4f}  path={rec.get('path')}  "
             f"actual={rec.get('actual')}  predicted={rec.get('predicted')}")
@@ -74,9 +98,14 @@ def main(argv=None):
     parser.add_argument("--k", type=int, default=10)
     parser.add_argument("--serve", action="store_true",
                         help="launch the Streamlit UI (needs streamlit)")
+    parser.add_argument("--export-projector", metavar="DIR", default=None,
+                        help="write TensorBoard-projector TSVs to DIR")
     args = parser.parse_args(argv)
 
     index = RetrievalIndex(args.embed_dict)
+    if args.export_projector:
+        print(f"projector export: {export_projector(index, args.export_projector)}")
+        return
     if args.serve:
         _serve(index)
         return

@@ -188,6 +188,27 @@ def test_retrieval_index_roundtrip(tmp_path):
     assert dists == sorted(dists)
 
 
+def test_projector_export(tmp_path):
+    """TensorBoard-projector TSV export — twin of the reference's
+    tsne_projection (nearest_neighbour.py:72-79)."""
+    from devt_tpu.tools.nearest_neighbour import export_projector
+
+    rng = np.random.default_rng(3)
+    embed_dict = {
+        i: {"path": f"clip{i}", "embedding": rng.standard_normal(15).astype(
+            np.float32)} for i in range(6)
+    }
+    path = str(tmp_path / "embed_dict")
+    with open(path, "wb") as f:
+        pickle.dump(embed_dict, f)
+    out = export_projector(RetrievalIndex(path), str(tmp_path / "proj"))
+    vecs = [l.split("\t") for l in open(f"{out}/vectors.tsv")]
+    meta = open(f"{out}/metadata.tsv").read().splitlines()
+    assert len(vecs) == 6 and all(len(v) == 15 for v in vecs)
+    assert meta == [f"clip{i}" for i in range(6)]
+    assert "vectors.tsv" in open(f"{out}/projector_config.pbtxt").read()
+
+
 def test_admin_filter(tmp_path):
     from devt_tpu.data.manifests import append_pickle
     src = str(tmp_path / "in.pkl")
