@@ -145,24 +145,51 @@ class Loader:
 
 
 def device_prefetch(iterator, placer: Callable | None = None, depth: int = 2):
-    """Move batches to device ``depth`` steps ahead of consumption."""
-    import collections
+    """Move batches to device ``depth`` steps ahead of consumption.
+
+    Batch fetch AND host→device placement run on a dedicated thread, so
+    the consumer's critical path never pays transfer serialization: the
+    H2D copy of step N+1 overlaps both step N's device compute and the
+    loader's decode threads (on the tunneled single-chip link the copy is
+    mostly network wait, which releases the GIL).  At most ``depth``
+    placed batches are alive on device at once."""
+    import queue as _queue
+    import threading
 
     import jax
 
     placer = placer or (lambda b: jax.tree_util.tree_map(
         jax.numpy.asarray, b))
-    buf = collections.deque()
-    it = iter(iterator)
-    try:
-        for _ in range(depth):
-            buf.append(placer(next(it)))
-    except StopIteration:
-        pass
-    while buf:
-        out = buf.popleft()
+    q: _queue.Queue = _queue.Queue(maxsize=depth)
+    done = threading.Event()
+    stop = object()
+
+    def worker():
         try:
-            buf.append(placer(next(it)))
-        except StopIteration:
-            pass
-        yield out
+            for item in iterator:
+                placed = placer(item)
+                while not done.is_set():
+                    try:
+                        q.put(placed, timeout=0.1)
+                        break
+                    except _queue.Full:
+                        continue
+                if done.is_set():
+                    return
+            q.put(stop)
+        except BaseException as e:  # noqa: BLE001 — forwarded to consumer
+            q.put(e)
+
+    t = threading.Thread(target=worker, daemon=True,
+                         name="devt-device-prefetch")
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        done.set()

@@ -247,3 +247,33 @@ def test_grain_adapter_shards_and_batches():
         seen.append(set(idxs))
     assert not (seen[0] & seen[1])          # disjoint host shards
     assert len(seen[0] | seen[1]) == 16     # full coverage
+
+
+def test_device_prefetch_threaded():
+    """Placement runs off-thread: order preserved, exceptions forwarded,
+    early abandonment doesn't deadlock the worker."""
+    import time
+
+    from devt_tpu.data.pipeline import device_prefetch
+
+    batches = [{"x": np.full((2,), i)} for i in range(6)]
+    out = list(device_prefetch(iter(batches), depth=2))
+    assert [int(b["x"][0]) for b in out] == list(range(6))
+
+    def boom():
+        yield {"x": np.zeros(2)}
+        raise RuntimeError("loader died")
+
+    it = device_prefetch(boom(), depth=2)
+    next(it)
+    with pytest.raises(RuntimeError, match="loader died"):
+        next(it)
+
+    # abandoning the generator must release the worker (bounded queue)
+    import threading
+    before = threading.active_count()
+    gen = device_prefetch(iter(batches), depth=1)
+    next(gen)
+    gen.close()
+    time.sleep(0.3)
+    assert threading.active_count() <= before + 1
