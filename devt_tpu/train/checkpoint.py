@@ -35,6 +35,45 @@ def save(ckpt_dir: str, state: TrainState, config: Config,
     return path
 
 
+class AsyncSaver:
+    """Checkpoint saves that overlap training.
+
+    Orbax's checkpointer stages the device→host copy at ``save()`` and
+    streams the file write in the background; training resumes as soon as
+    staging finishes rather than blocking on the disk write (the
+    TPU-production shape — on a pod the write goes to GCS and can take
+    longer than many steps).  The next ``save``/``close`` first waits for
+    the in-flight write, so at most one write is outstanding and a crash
+    mid-write leaves the previous complete checkpoint in place.
+    """
+
+    def __init__(self):
+        self._ckptr = ocp.StandardCheckpointer()
+
+    def save(self, ckpt_dir: str, state: TrainState, config: Config,
+             step: int | None = None) -> str:
+        ckpt_dir = os.path.abspath(ckpt_dir)
+        step = int(state.step) if step is None else step
+        path = os.path.join(ckpt_dir, f"step_{step}")
+        self._ckptr.wait_until_finished()     # ≤1 write outstanding
+        payload = {"step": state.step, "params": state.params,
+                   "model_state": state.model_state,
+                   "opt_state": state.opt_state}
+        self._ckptr.save(path, payload, force=True)
+        config.save_yaml(os.path.join(ckpt_dir, "config.yaml"))
+        return path
+
+    def close(self) -> None:
+        self._ckptr.wait_until_finished()
+        self._ckptr.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 def restore(path: str, state: TrainState) -> TrainState:
     """Restore into an existing abstract/concrete state (shapes must match)."""
     ckptr = ocp.StandardCheckpointer()

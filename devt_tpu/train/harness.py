@@ -10,7 +10,8 @@ jitted train step:
   * validation at epoch cadence fills RunningBuffers and fires the
     epoch-end callbacks (threshold-swept F1 / mAP / report — the
     reference's callback stack);
-  * Orbax checkpoint each ``eval_every_epochs`` epochs and at the end;
+  * async Orbax checkpoint each ``eval_every_epochs`` epochs and at the
+    end (the write streams while the next epoch trains);
   * per-step JSONL/wandb logging.
 """
 
@@ -118,6 +119,7 @@ class Trainer:
         steps_per_epoch = max(getattr(datamodule, "train_steps", 1), 1)
         example = next(iter(datamodule.train_batches()))
         state = self._init_state(model, example, steps_per_epoch)
+        self._saver = ckpt_lib.AsyncSaver()
 
         train_step = make_train_step(model, cfg)
         eval_step = make_eval_step(model, cfg)
@@ -180,11 +182,13 @@ class Trainer:
             if (epoch + 1) % cfg.eval_every_epochs == 0:
                 self.validate(model, datamodule, state, eval_step,
                               global_step)
-                ckpt_lib.save(cfg.checkpoint_dir, state, cfg)
+                # async: the write streams while the next epoch trains
+                self._saver.save(cfg.checkpoint_dir, state, cfg)
             if 0 < cfg.max_steps <= global_step:
                 break
 
-        ckpt_lib.save(cfg.checkpoint_dir, state, cfg)
+        self._saver.save(cfg.checkpoint_dir, state, cfg)
+        self._saver.close()
         return state
 
     # ------------------------------------------------------------------

@@ -171,6 +171,39 @@ def test_checkpoint_roundtrip(tmp_path):
     assert ckpt.latest_checkpoint(str(tmp_path / "ckpts")) == path
 
 
+def test_async_save_resume_equivalence(tmp_path):
+    """Preemption safety: N continuous train steps == N/2 steps +
+    AsyncSaver save (overlapped write) + restore + N/2 steps.  Exercises
+    the async checkpointer's staging semantics: the state snapshot must
+    be complete at save() even though the write finishes later."""
+    from devt_tpu.train import checkpoint as ckpt
+    cfg, model, state_a, batch = _tiny_ptn_setup()
+    step = make_train_step(model, cfg)
+
+    rngs = [jax.random.PRNGKey(i) for i in range(6)]
+    for r in rngs:
+        state_a, _ = step(state_a, batch, r)
+
+    _, _, state_b, _ = _tiny_ptn_setup()
+    with ckpt.AsyncSaver() as saver:
+        for r in rngs[:3]:
+            state_b, _ = step(state_b, batch, r)
+        path = saver.save(str(tmp_path / "ck"), state_b, cfg)
+        # keep training while the write streams (the overlap being tested)
+        for r in rngs[3:]:
+            state_b, _ = step(state_b, batch, r)
+    _, _, fresh, _ = _tiny_ptn_setup()
+    restored = ckpt.restore(path, fresh)
+    assert int(restored.step) == 3
+    for r in rngs[3:]:
+        restored, _ = step(restored, batch, r)
+
+    for a, b in zip(jax.tree_util.tree_leaves(state_a.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
+
+
 def test_main_entry_end_to_end(tmp_path, monkeypatch):
     """python -m devt_tpu.main on the synthetic dataset: fit + test with
     the TransformerEval callback producing the F1 sweep."""
