@@ -348,12 +348,71 @@ def bench_e2e_pipeline(tmp_root: str = "/tmp/devt_bench_corpus") -> dict:
             "unit": "samples/sec (host+device overlapped)"}
 
 
+def bench_p50_preprocess_to_logits(
+        tmp_root: str = "/tmp/devt_bench_corpus", trials: int = 20) -> dict:
+    """Config 6 (BASELINE.json "metric"): p50 clip-preprocess-to-logits
+    latency — one 16-frame 224² clip: native decode+resize+normalize →
+    host→device → ViViT logits → host readback, timed end to end."""
+    import glob
+    import os
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from devt_tpu import native
+    from devt_tpu.data import synthetic
+    from devt_tpu.models.vivit import ViViT
+
+    if not native.available():
+        return {"name": "p50_preprocess_to_logits",
+                "error": "native library unavailable"}
+    if not os.path.exists(os.path.join(tmp_root, "out.csv")):
+        os.makedirs(tmp_root, exist_ok=True)
+        synthetic.write_fake_light_csv(tmp_root, n_movies=16,
+                                       scenes_per_movie=4,
+                                       frames_per_scene=12, size=160)
+    frames = sorted(glob.glob(os.path.join(tmp_root, "**", "*.png"),
+                              recursive=True))
+    assert len(frames) >= 16, "corpus too small"
+
+    model = ViViT(image_size=224, patch_size=16, num_classes=19,
+                  num_frames=16, dtype=jnp.bfloat16, channels_last=True)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 16, 224, 224, 3), jnp.bfloat16))
+    fwd = jax.jit(lambda v, clip: jax.nn.sigmoid(model.apply(v, clip)))
+    mean = (0.485, 0.456, 0.406)
+    std = (0.229, 0.224, 0.225)
+
+    def one_clip(i):
+        paths = [frames[(i * 16 + k) % len(frames)] for k in range(16)]
+        pix, _ = native.load_batch_f32(paths, 224, 224, mean, std)
+        clip = jnp.asarray(pix[None], jnp.bfloat16)
+        probs = fwd(variables, clip)
+        return float(np.asarray(probs)[0, 0])   # host readback = sync
+
+    one_clip(0)                                 # compile
+    lat = []
+    for i in range(trials):
+        t0 = time.perf_counter()
+        one_clip(i)
+        lat.append((time.perf_counter() - t0) * 1e3)
+    lat.sort()
+    return {"name": "p50_preprocess_to_logits",
+            "value": round(lat[len(lat) // 2], 1), "unit": "ms p50",
+            "detail": {"p90_ms": round(lat[int(len(lat) * 0.9)], 1),
+                       "trials": trials,
+                       "note": "16-frame 224^2 clip; native decode 16 PNGs "
+                               "+ H2D + ViViT fwd + readback"}}
+
+
 def run_all() -> list[dict]:
     results = []
     for fn in (bench_single_clip_cpu_fwd, bench_pyramid_inference,
                bench_two_modality_fusion, bench_dropout_train,
                bench_vivit_dropout_train, bench_distillation_train,
-               bench_e2e_pipeline):
+               bench_e2e_pipeline, bench_p50_preprocess_to_logits):
         try:
             results.append(fn())
         except Exception as e:  # noqa: BLE001
