@@ -114,3 +114,70 @@ def ring_attention(q, k, v, mesh: Mesh, *, axis: str = "data",
     mapped = jax.shard_map(fn, mesh=mesh, in_specs=(spec, spec, spec),
                            out_specs=spec)
     return mapped(q, k, v)
+
+
+# ---------------------------------------------------------------------------
+# Sequence-parallel transformer LAYER: everything except attention is
+# per-token, so a whole pre-norm ViT block runs with the sequence axis
+# sharded — LN/projections/FFN stay local, only K/V shards ride the ring.
+# ---------------------------------------------------------------------------
+
+
+def _ring_block_local(x, params, *, heads: int, scale: float, kv_len: int,
+                      axis_name: str, n_shards: int):
+    """Local shard of a pre-norm ViT block (x: (B, S/n, D)); the same
+    math as ops/fused_block.reference_vit_block, with the attention core
+    swapped for the kv ring."""
+    from devt_tpu.ops.fused_block import _gelu, _ln
+
+    f32 = jnp.float32
+    b, s_local, dim = x.shape
+    d = dim // heads
+    x32 = x.astype(f32)
+    a, _, _, _ = _ln(x32, params["g1"].astype(f32), params["b1"].astype(f32))
+    qkv = a @ params["wqkv"].astype(f32)                 # (B, S/n, 3HD)
+
+    def split(t):   # heads are contiguous i*d slices (fused-block layout)
+        return t.reshape(b, s_local, heads, d).transpose(0, 2, 1, 3)
+
+    hd = heads * d
+    q, k, v = (split(qkv[..., :hd]), split(qkv[..., hd:2 * hd]),
+               split(qkv[..., 2 * hd:]))
+    att = ring_attention_local(q, k, v, axis_name=axis_name,
+                               n_shards=n_shards, scale=scale,
+                               kv_len=kv_len)
+    att = att.transpose(0, 2, 1, 3).reshape(b, s_local, hd).astype(f32)
+    u = x32 + att @ params["wo"].astype(f32) + params["bo"].astype(f32)
+    h2, _, _, _ = _ln(u, params["g2"].astype(f32), params["b2"].astype(f32))
+    ff = _gelu(h2 @ params["w1"].astype(f32) + params["bb1"].astype(f32))
+    y = u + ff @ params["w2"].astype(f32) + params["bb2"].astype(f32)
+    return y.astype(x.dtype)
+
+
+def ring_vit_block(x, params, mesh: Mesh, *, heads: int,
+                   scale: float | None = None, kv_len: int | None = None,
+                   axis: str = "data"):
+    """Context-parallel pre-norm ViT block over ``mesh[axis]``.
+
+    x (B, S, D) with S divisible by the axis size; ``params`` is the
+    fused-block dict (g1/b1/wqkv/wo/bo/g2/b2/w1/bb1/w2/bb2), replicated.
+    Long-context scaling headroom beyond the reference (SURVEY §5): per-
+    device memory is O(S/n) for activations while LN/projections/FFN
+    remain purely local; only attention communicates (neighbour ICI).
+    Differentiable end to end.  Parity vs the single-device block is
+    tested on the virtual 8-device mesh (tests/test_ring_attention.py).
+    """
+    n = mesh.shape[axis]
+    b, s, dim = x.shape
+    assert s % n == 0, (x.shape, n)
+    d = dim // heads
+    fn = functools.partial(
+        _ring_block_local, heads=heads,
+        scale=d ** -0.5 if scale is None else scale,
+        kv_len=s if kv_len is None else kv_len,
+        axis_name=axis, n_shards=n)
+    pspec = jax.tree_util.tree_map(lambda _: P(), params)
+    mapped = jax.shard_map(fn, mesh=mesh,
+                           in_specs=(P(None, axis, None), pspec),
+                           out_specs=P(None, axis, None))
+    return mapped(x, params)

@@ -65,3 +65,44 @@ def test_ring_gradients_match_single_device():
     for a, b_ in zip(g_ring, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    atol=5e-5, rtol=1e-4)
+
+
+def test_ring_vit_block_matches_reference():
+    """A WHOLE pre-norm ViT block runs sequence-parallel: fwd + grads
+    match ops/fused_block.reference_vit_block, incl. kv_len masking."""
+    from devt_tpu.ops.fused_block import reference_vit_block
+    from devt_tpu.parallel.ring_attention import ring_vit_block
+
+    rng = np.random.default_rng(0)
+    B, S, D, H, MLP = 2, 32, 64, 2, 128
+    kv_len = 29
+
+    def P_(*sh, scale=0.1):
+        return jnp.asarray(rng.standard_normal(sh) * scale, jnp.float32)
+
+    params = {"g1": P_(1, D, scale=0.02) + 1.0, "b1": P_(1, D, scale=0.02),
+              "wqkv": P_(D, 3 * D), "wo": P_(D, D), "bo": P_(1, D),
+              "g2": P_(1, D, scale=0.02) + 1.0, "b2": P_(1, D, scale=0.02),
+              "w1": P_(D, MLP), "bb1": P_(1, MLP),
+              "w2": P_(MLP, D), "bb2": P_(1, D)}
+    x = jnp.asarray(rng.standard_normal((B, S, D)) * 0.5, jnp.float32)
+    cot = jnp.asarray(rng.standard_normal((B, S, D)), jnp.float32)
+    mesh = _mesh(8, "sp")
+    scale = (D // H) ** -0.5
+
+    ref = reference_vit_block(x, params, H, scale, kv_len)
+    out = jax.jit(lambda x, p: ring_vit_block(
+        x, p, mesh, heads=H, kv_len=kv_len, axis="sp"))(x, params)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    g_ref = jax.grad(lambda x, p: jnp.sum(
+        cot * reference_vit_block(x, p, H, scale, kv_len)),
+        argnums=(0, 1))(x, params)
+    g_ring = jax.jit(jax.grad(lambda x, p: jnp.sum(
+        cot * ring_vit_block(x, p, mesh, heads=H, kv_len=kv_len,
+                             axis="sp")), argnums=(0, 1)))(x, params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_ring)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-5, atol=5e-5)
