@@ -197,8 +197,13 @@ class ViTBlock(nn.Module):
             return False
         if ((x.shape[1] + 127) // 128) * 128 > 512 or x.shape[1] % 16:
             return False
-        return (_jax.default_backend() == "tpu"
-                or self.attention_impl == "fused_interpret")
+        if self.attention_impl == "fused_interpret":
+            return True
+        # multi-device: pallas_call is opaque to GSPMD (sharded operands
+        # cannot partition into the kernel), so "auto" keeps the unfused
+        # path, which GSPMD shards with the Megatron rules
+        from devt_tpu.ops.attention import _auto_pallas_ok
+        return _auto_pallas_ok()
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True,

@@ -27,6 +27,18 @@ def _default_backend_is_tpu() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _auto_pallas_ok() -> bool:
+    """``"auto"`` resolves to the Pallas kernels only on a single-device
+    TPU process.  A ``pallas_call`` is opaque to GSPMD: under a multi-
+    device mesh its sharded operands cannot be partitioned into the
+    kernel, so the auto tier keeps the jnp formulations — which GSPMD
+    partitions with the Megatron rules (parallel/sharding.py) and the
+    batch sharding.  Explicit ``impl="pallas"`` still forces the kernel
+    (correct inside shard_map bodies or single-device work on a pod
+    host)."""
+    return _default_backend_is_tpu() and jax.device_count() == 1
+
+
 def xla_attention(q, k, v, *, scale: float,
                   kv_len: int | None = None,
                   dropout_rate: float = 0.0, dropout_rng=None):
@@ -59,7 +71,7 @@ def scaled_dot_product_attention(q, k, v, *, scale: float | None = None,
         scale = q.shape[-1] ** -0.5
     use_dropout = dropout_rate > 0.0 and dropout_rng is not None
     if impl == "auto":
-        impl = "pallas" if (_default_backend_is_tpu() and not use_dropout) \
+        impl = "pallas" if (_auto_pallas_ok() and not use_dropout) \
             else "xla"
     if impl == "pallas":
         if use_dropout:
@@ -97,7 +109,7 @@ def packed_mha(qkv, *, heads: int, scale: float | None = None,
         # in-kernel prob dropout (hardware PRNG) keeps the fused path hot
         # for the reference's training configs (dropout 0.1–0.5,
         # src/config.yaml:10, src/models/frame_transformer.py:99)
-        resolved = "pallas" if _default_backend_is_tpu() else "xla"
+        resolved = "pallas" if _auto_pallas_ok() else "xla"
     single_block = ((s + 127) // 128) * 128 <= 512
     if resolved == "pallas" and single_block:
         return fused_mha(qkv, heads=heads, scale=scale, kv_len=kv_len,

@@ -77,3 +77,21 @@ def test_auto_impl_on_cpu_is_xla():
     out = scaled_dot_product_attention(q, k, v, impl="auto")
     ref = xla_attention(q, k, v, scale=16 ** -0.5)
     np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+def test_auto_keeps_xla_under_multi_device(monkeypatch):
+    """'auto' must not pick Pallas when >1 device is visible: pallas_call
+    is opaque to GSPMD, so sharded operands can't partition into the
+    kernel — the jnp path (Megatron-shardable) is the multi-chip tier."""
+    from devt_tpu.models.layers import ViTBlock
+    from devt_tpu.ops import attention as att
+
+    monkeypatch.setattr(att.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(att.jax, "device_count", lambda: 8)
+    assert not att._auto_pallas_ok()
+    block = ViTBlock(64, 2, 32, 128)
+    x = jnp.zeros((2, 16, 64))
+    assert not block._fused_eligible(x, deterministic=True)
+
+    monkeypatch.setattr(att.jax, "device_count", lambda: 1)
+    assert att._auto_pallas_ok()
