@@ -78,13 +78,11 @@ class _FrameClipPacker:
         self.native = native if native.available() else None
         # u8 wire format (config.wire_format): ship decoded pixels as
         # uint8 and normalize on device (data/device_norm.py) — 4x fewer
-        # bytes over the host→device link.  Only the un-augmented native
-        # clip path qualifies: RandomErasing writes gaussian values in
-        # normalized space, so erasing states stay on the f32 path.
-        erase = state == "train" and not cycle
+        # bytes over the host→device link.  RandomErasing (erase to 0 in
+        # normalized space, the torchvision default) has a u8 twin that
+        # fills round(mean*255), so erasing configs keep the u8 wire.
         self.vid_u8 = (config.wire_format == "u8"
-                       and self.native is not None
-                       and self.need_vid and not erase)
+                       and self.native is not None and self.need_vid)
 
     def empty(self):
         img = np.zeros((self.seq_len, 224, 224, 3), np.float32)
@@ -122,6 +120,10 @@ class _FrameClipPacker:
             if self.vid_u8:
                 frames, _ = self.native.load_batch_u8(
                     [frame_paths[fi] for fi in idxs], 120, 112)
+                if erase:
+                    for k in range(self.frame_len):
+                        frames[k] = transforms.random_erasing_u8(
+                            frames[k], rng)
                 vid[slot] = frames
             elif self.native is not None:
                 frames, _ = self.native.load_batch_f32(

@@ -227,14 +227,9 @@ def val_image_transform(img: Image.Image, size: int = 224,
     return _normalize(np.asarray(img, np.uint8), IMAGENET_MEAN, IMAGENET_STD)
 
 
-def random_erasing(arr: np.ndarray, rng: random.Random, p: float = 0.5,
-                   scale=(0.02, 0.33), ratio=(0.3, 3.3)) -> np.ndarray:
-    """torchvision ``RandomErasing`` on an HWC float array (train clips,
-    MMX_Frame_dl.py:87)."""
-    if rng.random() >= p:
-        return arr
+def _erase_box(h: int, w: int, rng: random.Random, scale, ratio):
+    """One torchvision-RandomErasing box draw (≤10 attempts) or None."""
     import math
-    h, w = arr.shape[:2]
     area = h * w
     for _ in range(10):
         target = area * rng.uniform(*scale)
@@ -242,13 +237,50 @@ def random_erasing(arr: np.ndarray, rng: random.Random, p: float = 0.5,
         eh = int(round(math.sqrt(target * aspect)))
         ew = int(round(math.sqrt(target / aspect)))
         if eh < h and ew < w:
-            top = rng.randint(0, h - eh)
-            left = rng.randint(0, w - ew)
-            arr = arr.copy()
-            arr[top:top + eh, left:left + ew] = np.random.default_rng(
-                rng.randrange(2**31)).standard_normal(
-                    (eh, ew, arr.shape[2])).astype(arr.dtype)
-            return arr
+            return rng.randint(0, h - eh), rng.randint(0, w - ew), eh, ew
+    return None
+
+
+def random_erasing(arr: np.ndarray, rng: random.Random, p: float = 0.5,
+                   scale=(0.02, 0.33), ratio=(0.3, 3.3),
+                   value: str | float = 0.0) -> np.ndarray:
+    """torchvision ``RandomErasing`` on an HWC float array (train clips,
+    MMX_Frame_dl.py:87).  The reference uses the torchvision DEFAULT,
+    which erases to ``value=0`` (zeros in normalized space);
+    ``value="random"`` gives the gaussian-fill variant."""
+    if rng.random() >= p:
+        return arr
+    box = _erase_box(arr.shape[0], arr.shape[1], rng, scale, ratio)
+    if box is None:
+        return arr
+    top, left, eh, ew = box
+    arr = arr.copy()
+    if value == "random":
+        arr[top:top + eh, left:left + ew] = np.random.default_rng(
+            rng.randrange(2**31)).standard_normal(
+                (eh, ew, arr.shape[2])).astype(arr.dtype)
+    else:
+        arr[top:top + eh, left:left + ew] = arr.dtype.type(value)
+    return arr
+
+
+def random_erasing_u8(arr: np.ndarray, rng: random.Random,
+                      mean=None, p: float = 0.5,
+                      scale=(0.02, 0.33), ratio=(0.3, 3.3)) -> np.ndarray:
+    """RandomErasing for the uint8 wire format: fills the box with
+    ``round(mean·255)`` per channel, which the on-device normalize
+    (data/device_norm.py) maps to ~0 — the same normalized-space zeros
+    the f32 path writes, within u8 quantization (≤0.5/255/std ≈ 0.009)."""
+    if rng.random() >= p:
+        return arr
+    box = _erase_box(arr.shape[0], arr.shape[1], rng, scale, ratio)
+    if box is None:
+        return arr
+    top, left, eh, ew = box
+    mean = KINETICS_MEAN if mean is None else np.asarray(mean, np.float32)
+    arr = arr.copy()
+    arr[top:top + eh, left:left + ew] = np.round(
+        mean * 255.0).astype(np.uint8)
     return arr
 
 

@@ -277,3 +277,40 @@ def test_device_prefetch_threaded():
     gen.close()
     time.sleep(0.3)
     assert threading.active_count() <= before + 1
+
+
+def test_random_erasing_torchvision_default_and_u8_twin():
+    """The reference's RandomErasing is the torchvision DEFAULT: erase to
+    value=0 in normalized space (MMX_Frame_dl.py:87).  The u8 wire twin
+    fills round(mean*255), which on-device normalization maps to ~0."""
+    import random as _random
+
+    import jax.numpy as jnp
+
+    from devt_tpu.data import transforms as T
+    from devt_tpu.data.device_norm import dequantize
+
+    base = np.ones((112, 112, 3), np.float32) * 1.7
+
+    out = T.random_erasing(base, _random.Random(0), p=1.0)
+    erased = out == 0.0
+    assert erased.any() and not erased.all()
+    assert np.array_equal(out[~erased], base[~erased])
+
+    rnd = T.random_erasing(base, _random.Random(0), p=1.0, value="random")
+    assert not np.array_equal(rnd, out)
+    # same seeded rng → same box geometry across variants
+    assert np.array_equal(rnd != base, ~np.isclose(out, base))
+
+    u8 = np.full((112, 112, 3), 200, np.uint8)
+    out8 = T.random_erasing_u8(u8, _random.Random(0), p=1.0)
+    fill = np.round(T.KINETICS_MEAN * 255.0).astype(np.uint8)
+    box = (out8 != 200).any(axis=-1)
+    assert box.any()
+    assert np.array_equal(out8[box], np.broadcast_to(fill, out8[box].shape))
+    # identical geometry to the f32 path under the same rng
+    assert np.array_equal(box, erased.all(axis=-1))
+    # normalized erased region is ~0 (u8 quantization only)
+    dq = np.asarray(dequantize(jnp.asarray(out8[None]), T.KINETICS_MEAN,
+                               T.KINETICS_STD, dtype=jnp.float32))[0]
+    assert np.abs(dq[box]).max() < 0.01
