@@ -134,6 +134,9 @@ class Config(Mapping[str, Any]):
     checkpoint_dir: str = "checkpoints"
     resume: str = ""                   # checkpoint path to restore
     max_steps: int = -1                # -1 = unbounded (epochs governs)
+    profile_dir: str = ""              # non-empty: jax.profiler trace of
+                                       # train steps 2..8 written here
+                                       # (TensorBoard-loadable XPlane)
     host_batch_prefetch: int = 2
     unroll_steps: int = 1              # >1: scan K full train steps into one
                                        # XLA program (amortizes dispatch;

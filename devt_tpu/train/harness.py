@@ -133,6 +133,7 @@ class Trainer:
 
         global_step = int(state.step)
         timer = StepTimer()
+        profiling_on = False
         for epoch in range(cfg.epochs):
             # device-side double buffering: batches are device_put
             # ``host_batch_prefetch`` steps ahead of consumption, so the
@@ -143,6 +144,18 @@ class Trainer:
             if multi_step is not None:
                 placed_iter = _stacked(placed_iter, unroll)
             for placed in placed_iter:
+                if cfg.profile_dir:
+                    # trace steps 2..8: past compile/warmup, short enough
+                    # to stay TensorBoard-loadable
+                    if not profiling_on and global_step >= 2:
+                        import jax.profiler as _prof
+                        _prof.start_trace(cfg.profile_dir)
+                        profiling_on = True
+                    elif profiling_on and global_step >= 8:
+                        import jax.profiler as _prof
+                        float(metrics["loss"])      # sync before stopping
+                        _prof.stop_trace()
+                        profiling_on = False
                 if multi_step is not None:
                     state, metrics = multi_step(state, placed, self._rng)
                     global_step += unroll
@@ -187,6 +200,9 @@ class Trainer:
             if 0 < cfg.max_steps <= global_step:
                 break
 
+        if profiling_on:
+            import jax.profiler as _prof
+            _prof.stop_trace()
         self._saver.save(cfg.checkpoint_dir, state, cfg)
         self._saver.close()
         return state

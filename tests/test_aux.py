@@ -128,3 +128,20 @@ def test_gradcam_r2plus1d_video_backbone():
     img = np.random.default_rng(1).random((32, 32, 3)).astype(np.float32)
     overlay = show_cam_on_image(img, cam[0, 0])
     assert overlay.shape == (32, 32, 3) and overlay.dtype == np.uint8
+
+
+def test_profile_dir_flag_writes_trace(tmp_path):
+    """--profile_dir wires jax.profiler into the harness fit loop
+    (trace of train steps 2..8, TensorBoard-loadable)."""
+    from devt_tpu.main import main as entry_main
+
+    entry_main(["--model", "ptn", "--data_set", "synthetic", "--epochs",
+                "1", "--batch_size", "2", "--seq_len", "3", "--nlayers",
+                "1", "--input_dimension", "32", "--nhid", "32", "--nhead",
+                "2", "--n_classes", "15", "--precision", "f32",
+                "--max_steps", "10", "--attention_impl", "xla",
+                "--dropout", "0.0", "--log_every", "4",
+                "--profile_dir", str(tmp_path / "prof"),
+                "--checkpoint_dir", str(tmp_path / "ck")])
+    found = [f for _, _, fs in os.walk(tmp_path / "prof") for f in fs]
+    assert found, "no profiler artifacts written"
