@@ -50,6 +50,11 @@ class Predictor:
         name = config.model
 
         def forward(variables, batch):
+            # uint8 wire format: img/vid arrive as raw u8 pixels (the
+            # native decoder's output) and normalize on device — same
+            # contract as the train step (data/device_norm.py)
+            from devt_tpu.data.device_norm import maybe_dequantize_batch
+            batch = maybe_dequantize_batch(batch, dtype=jnp.float32)
             if name in ("ptn", "ptn_shared"):
                 out = model.apply(variables, batch["experts"])
             elif name == "vivit":

@@ -64,3 +64,27 @@ def test_from_orbax_checkpoint(tmp_path):
     pred = Predictor.from_checkpoint(cfg, path, buckets=(2,))
     out = pred.predict({"experts": x})
     assert out["scores"].shape == (1, 15)
+
+
+def test_predict_uint8_wire_format():
+    """Predictor accepts raw u8 pixels (the native decoder's output) and
+    normalizes on device — scores match host-normalized f32 input."""
+    from devt_tpu.data.transforms import KINETICS_MEAN, KINETICS_STD
+    from devt_tpu.registry import build_model
+
+    cfg = Config(model="vid", batch_size=2, seq_len=2, frame_len=2,
+                 n_classes=19, dropout=0.0, precision="f32",
+                 attention_impl="xla", cls=0)
+    model = build_model(cfg)
+    rng = np.random.default_rng(0)
+    u8 = rng.integers(0, 256, (2, 2, 2, 32, 32, 3), dtype=np.uint8)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           img=None,
+                           vid=jax.numpy.zeros((1, 2, 2, 32, 32, 3)),
+                           train=False)
+    pred = Predictor(cfg, variables, buckets=(2,))
+    s_u8 = pred.predict({"vid": u8})["scores"]
+
+    f32 = (u8.astype(np.float32) / 255.0 - KINETICS_MEAN) / KINETICS_STD
+    s_f32 = pred.predict({"vid": f32.astype(np.float32)})["scores"]
+    np.testing.assert_allclose(s_u8, s_f32, rtol=2e-4, atol=2e-4)
