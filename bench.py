@@ -271,17 +271,30 @@ def bench_distillation_train(batch_size: int = 2) -> dict:
             "unit": "samples/sec/chip"}
 
 
+def _ensure_corpus(tmp_root: str) -> str:
+    """One synthetic frame corpus shared by every pipeline bench (the
+    e2e and p50 configs must measure the SAME dataset)."""
+    import os
+
+    from devt_tpu.data import synthetic
+
+    if not os.path.exists(os.path.join(tmp_root, "out.csv")):
+        os.makedirs(tmp_root, exist_ok=True)
+        synthetic.write_fake_light_csv(tmp_root, n_movies=16,
+                                       scenes_per_movie=4,
+                                       frames_per_scene=12, size=160)
+    return os.path.join(tmp_root, "out.csv")
+
+
 def bench_e2e_pipeline(tmp_root: str = "/tmp/devt_bench_corpus") -> dict:
     """Config 5: raw frame decode → augment → train, host overlapped with
     device steps (vid model over the native decoder)."""
-    import os
     import time
 
     import jax
     import jax.numpy as jnp
 
     from devt_tpu.config import Config
-    from devt_tpu.data import synthetic
     from devt_tpu.data.mmx_frame import MMXLightDataset
     from devt_tpu.data.pipeline import Loader, device_prefetch
     from devt_tpu.data import manifests
@@ -290,12 +303,7 @@ def bench_e2e_pipeline(tmp_root: str = "/tmp/devt_bench_corpus") -> dict:
     from devt_tpu.train.optimizers import build_optimizer
     from devt_tpu.train.state import TrainState
 
-    if not os.path.exists(os.path.join(tmp_root, "out.csv")):
-        os.makedirs(tmp_root, exist_ok=True)
-        synthetic.write_fake_light_csv(tmp_root, n_movies=16,
-                                       scenes_per_movie=4,
-                                       frames_per_scene=12, size=160)
-    csv_path = os.path.join(tmp_root, "out.csv")
+    csv_path = _ensure_corpus(tmp_root)
     # u8 wire format: pixels cross the host→device link as uint8 and are
     # normalized inside the jitted step — on this tunneled chip (and on
     # PCIe pod hosts) the link, not the decode, is the e2e bottleneck
@@ -362,17 +370,12 @@ def bench_p50_preprocess_to_logits(
     import numpy as np
 
     from devt_tpu import native
-    from devt_tpu.data import synthetic
     from devt_tpu.models.vivit import ViViT
 
     if not native.available():
         return {"name": "p50_preprocess_to_logits",
                 "error": "native library unavailable"}
-    if not os.path.exists(os.path.join(tmp_root, "out.csv")):
-        os.makedirs(tmp_root, exist_ok=True)
-        synthetic.write_fake_light_csv(tmp_root, n_movies=16,
-                                       scenes_per_movie=4,
-                                       frames_per_scene=12, size=160)
+    _ensure_corpus(tmp_root)
     frames = sorted(glob.glob(os.path.join(tmp_root, "**", "*.png"),
                               recursive=True))
     assert len(frames) >= 16, "corpus too small"

@@ -164,21 +164,27 @@ def device_prefetch(iterator, placer: Callable | None = None, depth: int = 2):
     done = threading.Event()
     stop = object()
 
+    def put_or_abandon(item) -> bool:
+        """Bounded put that gives up when the consumer is gone (the
+        generator's finally sets ``done``) — the worker must never block
+        forever on a full queue, or it leaks the thread plus ``depth``
+        device-resident batches."""
+        while not done.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except _queue.Full:
+                continue
+        return False
+
     def worker():
         try:
             for item in iterator:
-                placed = placer(item)
-                while not done.is_set():
-                    try:
-                        q.put(placed, timeout=0.1)
-                        break
-                    except _queue.Full:
-                        continue
-                if done.is_set():
+                if not put_or_abandon(placer(item)):
                     return
-            q.put(stop)
+            put_or_abandon(stop)
         except BaseException as e:  # noqa: BLE001 — forwarded to consumer
-            q.put(e)
+            put_or_abandon(e)
 
     t = threading.Thread(target=worker, daemon=True,
                          name="devt-device-prefetch")

@@ -163,10 +163,11 @@ class _FFParams(nn.Module):
 class ViTBlock(nn.Module):
     """One pre-norm layer: x += attn(norm(x)); x += ff(norm(x)).
 
-    On TPU (no dropout, single-kv-block sequence, inner_dim == dim) the
-    whole block runs as ONE fused Pallas kernel per pass
-    (devt_tpu/ops/fused_block.py) — every intermediate stays in VMEM.
-    The parameter tree is identical in both paths, so checkpoints are
+    On a single-device TPU (single-kv-block sequence, inner_dim == dim)
+    the whole block runs as ONE fused Pallas kernel per pass
+    (devt_tpu/ops/fused_block.py) — every intermediate stays in VMEM,
+    and training dropout runs in-kernel via the hardware PRNG.  The
+    parameter tree is identical in both paths, so checkpoints are
     interchangeable.
     """
     dim: int

@@ -28,15 +28,21 @@ def _default_backend_is_tpu() -> bool:
 
 
 def _auto_pallas_ok() -> bool:
-    """``"auto"`` resolves to the Pallas kernels only on a single-device
-    TPU process.  A ``pallas_call`` is opaque to GSPMD: under a multi-
-    device mesh its sharded operands cannot be partitioned into the
-    kernel, so the auto tier keeps the jnp formulations — which GSPMD
-    partitions with the Megatron rules (parallel/sharding.py) and the
-    batch sharding.  Explicit ``impl="pallas"`` still forces the kernel
-    (correct inside shard_map bodies or single-device work on a pod
-    host)."""
-    return _default_backend_is_tpu() and jax.device_count() == 1
+    """``"auto"`` resolves to the Pallas kernels only when no multi-
+    device mesh is in play.  A ``pallas_call`` is opaque to GSPMD: under
+    a multi-device mesh its sharded operands cannot be partitioned into
+    the kernel, so the auto tier keeps the jnp formulations — which
+    GSPMD partitions with the Megatron rules (parallel/sharding.py) and
+    the batch sharding.  The signal is ``make_mesh`` having built a
+    >1-device mesh (parallel/mesh.multi_device_mesh_active), NOT the
+    host's device count — single-device work on a multi-chip host keeps
+    the fused kernels.  Explicit ``impl="pallas"`` always forces the
+    kernel (correct inside shard_map bodies, whose per-device shapes are
+    concrete)."""
+    if not _default_backend_is_tpu():
+        return False
+    from devt_tpu.parallel import mesh as _mesh
+    return not _mesh.multi_device_mesh_active
 
 
 def xla_attention(q, k, v, *, scale: float,

@@ -20,8 +20,11 @@ sequential TPU grid via constant-index output blocks (initialised at
 step 0, written back once at the last step).
 
 Single-kv-block sequences only (S ≤ 512 — every model in this family).
-Dropout is not supported here; training with dropout>0 uses the unfused
-path (the reference ViT defaults to dropout 0, vit.py:80).
+Dropout runs IN-KERNEL via the hardware PRNG at the reference's three
+block sites (attention out-projection, FFN hidden, FFN output —
+src/models/vit.py:23,25,43); the backward regenerates the forward's
+masks from the same seed and draw order, which is why the forward's
+grid grouping must match the backward's whenever dropout is active.
 """
 
 from __future__ import annotations

@@ -20,19 +20,18 @@ from devt_tpu.config import Config
 from devt_tpu.train.state import TrainState
 
 
+def _payload(state: TrainState) -> dict[str, Any]:
+    """ONE schema for sync and async saves — restore() mirrors it."""
+    return {"step": state.step, "params": state.params,
+            "model_state": state.model_state,
+            "opt_state": state.opt_state}
+
+
 def save(ckpt_dir: str, state: TrainState, config: Config,
          step: int | None = None) -> str:
-    ckpt_dir = os.path.abspath(ckpt_dir)
-    step = int(state.step) if step is None else step
-    path = os.path.join(ckpt_dir, f"step_{step}")
-    ckptr = ocp.StandardCheckpointer()
-    payload = {"step": state.step, "params": state.params,
-               "model_state": state.model_state,
-               "opt_state": state.opt_state}
-    ckptr.save(path, payload, force=True)
-    ckptr.wait_until_finished()
-    config.save_yaml(os.path.join(ckpt_dir, "config.yaml"))
-    return path
+    """Synchronous save: an AsyncSaver whose write is awaited."""
+    with AsyncSaver() as saver:
+        return saver.save(ckpt_dir, state, config, step)
 
 
 class AsyncSaver:
@@ -56,10 +55,7 @@ class AsyncSaver:
         step = int(state.step) if step is None else step
         path = os.path.join(ckpt_dir, f"step_{step}")
         self._ckptr.wait_until_finished()     # ≤1 write outstanding
-        payload = {"step": state.step, "params": state.params,
-                   "model_state": state.model_state,
-                   "opt_state": state.opt_state}
-        self._ckptr.save(path, payload, force=True)
+        self._ckptr.save(path, _payload(state), force=True)
         config.save_yaml(os.path.join(ckpt_dir, "config.yaml"))
         return path
 
@@ -77,10 +73,7 @@ class AsyncSaver:
 def restore(path: str, state: TrainState) -> TrainState:
     """Restore into an existing abstract/concrete state (shapes must match)."""
     ckptr = ocp.StandardCheckpointer()
-    template = {"step": state.step, "params": state.params,
-                "model_state": state.model_state,
-                "opt_state": state.opt_state}
-    payload = ckptr.restore(path, template)
+    payload = ckptr.restore(path, _payload(state))
     return state.replace(step=payload["step"], params=payload["params"],
                          model_state=payload["model_state"],
                          opt_state=payload["opt_state"])

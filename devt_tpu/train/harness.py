@@ -134,6 +134,9 @@ class Trainer:
         global_step = int(state.step)
         timer = StepTimer()
         profiling_on = False
+        run_steps = 0      # steps executed in THIS run — the profiler
+                           # window must not shift (or capture the fresh
+                           # compile) when resuming from a checkpoint
         for epoch in range(cfg.epochs):
             # device-side double buffering: batches are device_put
             # ``host_batch_prefetch`` steps ahead of consumption, so the
@@ -145,17 +148,18 @@ class Trainer:
                 placed_iter = _stacked(placed_iter, unroll)
             for placed in placed_iter:
                 if cfg.profile_dir:
-                    # trace steps 2..8: past compile/warmup, short enough
-                    # to stay TensorBoard-loadable
-                    if not profiling_on and global_step >= 2:
+                    # trace run-steps 2..8: past compile/warmup, short
+                    # enough to stay TensorBoard-loadable
+                    if not profiling_on and run_steps == 2:
                         import jax.profiler as _prof
                         _prof.start_trace(cfg.profile_dir)
                         profiling_on = True
-                    elif profiling_on and global_step >= 8:
+                    elif profiling_on and run_steps >= 8:
                         import jax.profiler as _prof
                         float(metrics["loss"])      # sync before stopping
                         _prof.stop_trace()
                         profiling_on = False
+                run_steps += 1
                 if multi_step is not None:
                     state, metrics = multi_step(state, placed, self._rng)
                     global_step += unroll

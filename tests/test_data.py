@@ -269,14 +269,19 @@ def test_device_prefetch_threaded():
     with pytest.raises(RuntimeError, match="loader died"):
         next(it)
 
-    # abandoning the generator must release the worker (bounded queue)
+    # abandoning the generator must release the worker — including the
+    # final stop-sentinel put on a full queue (regression: a plain
+    # blocking q.put(stop) leaked the thread + device batches)
     import threading
-    before = threading.active_count()
-    gen = device_prefetch(iter(batches), depth=1)
-    next(gen)
-    gen.close()
-    time.sleep(0.3)
-    assert threading.active_count() <= before + 1
+    for n_batches in (2, 6):      # exhausted-iterator and mid-epoch cases
+        before = threading.active_count()
+        gen = device_prefetch(iter(batches[:n_batches]), depth=1)
+        next(gen)
+        gen.close()
+        deadline = time.time() + 3.0
+        while threading.active_count() > before and time.time() < deadline:
+            time.sleep(0.05)
+        assert threading.active_count() <= before
 
 
 def test_random_erasing_torchvision_default_and_u8_twin():
