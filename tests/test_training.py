@@ -245,3 +245,27 @@ def test_multi_step_matches_separate_steps():
                     jax.tree_util.tree_leaves(state2.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert np.isfinite(float(m2["loss"]))
+
+
+def test_main_resume_continues_from_checkpoint(tmp_path, monkeypatch):
+    """--resume through the CLI: a second run restores the saved step and
+    continues counting from it (not from zero)."""
+    monkeypatch.chdir(tmp_path)
+    from devt_tpu import main as entry
+    from devt_tpu.train import checkpoint as ckpt
+
+    args = ["--model", "ptn", "--data_set", "synthetic", "--epochs", "1",
+            "--batch_size", "2", "--seq_len", "3", "--nlayers", "1",
+            "--input_dimension", "32", "--nhid", "32", "--nhead", "2",
+            "--n_classes", "15", "--precision", "f32", "--max_steps", "4",
+            "--attention_impl", "xla", "--dropout", "0.0",
+            "--log_every", "2",
+            "--checkpoint_dir", str(tmp_path / "ck")]
+    entry.main(args)
+    first = ckpt.latest_checkpoint(str(tmp_path / "ck"))
+    assert first and first.endswith("step_4")
+
+    args2 = [a if a != "4" else "8" for a in args] + ["--resume", first]
+    entry.main(args2)
+    assert ckpt.latest_checkpoint(
+        str(tmp_path / "ck")).endswith("step_8")
