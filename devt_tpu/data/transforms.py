@@ -22,7 +22,6 @@ PIL kernels, which is what torchvision executes under the hood.
 from __future__ import annotations
 
 import random
-from typing import Sequence
 
 import numpy as np
 from PIL import Image, ImageEnhance, ImageOps

@@ -10,12 +10,12 @@ about torch's conventions.
 from __future__ import annotations
 
 import math
-from typing import Callable, Sequence
+from typing import Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
 
-from devt_tpu.ops.attention import packed_mha, scaled_dot_product_attention
+from devt_tpu.ops.attention import packed_mha
 from devt_tpu.ops.fused_block import fused_vit_block
 
 # torch uses eps=1e-5 in LayerNorm; flax defaults to 1e-6.  Parity requires
