@@ -196,7 +196,8 @@ class ViTBlock(nn.Module):
         # the unfused path to keep the parameter tree interchangeable.
         if self.heads == 1 and self.dim_head == self.dim:
             return False
-        if ((x.shape[1] + 127) // 128) * 128 > 512 or x.shape[1] % 16:
+        from devt_tpu.ops.flash_attention import fits_single_block
+        if not fits_single_block(x.shape[1]) or x.shape[1] % 16:
             return False
         if self.attention_impl == "fused_interpret":
             return True

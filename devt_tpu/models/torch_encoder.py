@@ -47,9 +47,14 @@ class TorchMultiheadAttention(nn.Module):
         use_drop = self.dropout > 0.0 and not deterministic
         if use_drop:
             dropout_rng = self.make_rng("dropout")
+        # the dispatch handles dropout: "auto" runs the fused kernel's
+        # in-kernel attention-prob dropout on a single-device TPU and the
+        # xla formulation elsewhere (ops/attention.packed_mha) — no
+        # override here, or the reference's dropout-training configs
+        # silently lose the fused path
         out = packed_mha(
             qkv, heads=self.num_heads, scale=head_dim ** -0.5,
-            impl="xla" if use_drop else self.attention_impl,
+            impl=self.attention_impl,
             dropout_rate=self.dropout if use_drop else 0.0,
             dropout_rng=dropout_rng)
         return nn.Dense(e, dtype=self.dtype, name="out_proj")(out)

@@ -20,7 +20,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from devt_tpu.ops.flash_attention import flash_attention, fused_mha
+from devt_tpu.ops.flash_attention import (fits_single_block,
+                                            flash_attention, fused_mha)
 
 
 def _default_backend_is_tpu() -> bool:
@@ -116,7 +117,7 @@ def packed_mha(qkv, *, heads: int, scale: float | None = None,
         # for the reference's training configs (dropout 0.1–0.5,
         # src/config.yaml:10, src/models/frame_transformer.py:99)
         resolved = "pallas" if _auto_pallas_ok() else "xla"
-    single_block = ((s + 127) // 128) * 128 <= 512
+    single_block = fits_single_block(s)
     if resolved == "pallas" and single_block:
         return fused_mha(qkv, heads=heads, scale=scale, kv_len=kv_len,
                          dropout_rate=dropout_rate if use_dropout else 0.0,

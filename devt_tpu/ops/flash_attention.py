@@ -11,10 +11,12 @@ Design notes (TPU-first, see pallas_guide.md):
     materialised in HBM.  Grid = ``(batch*heads, num_q_blocks,
     num_kv_blocks)``; the innermost kv dimension iterates sequentially on
     TPU, carrying running max / sum / output accumulator in VMEM scratch.
-  * Head dim is zero-padded to a multiple of 128 (MXU lane width) and
-    sequence lengths to a multiple of the block size; the pad is masked
-    with a large negative score so softmax ignores it.  ``-1e30`` rather
-    than ``-inf`` keeps fully-padded rows NaN-free.
+  * Sequence lengths pad to a multiple of the block size, masked with a
+    large negative score so softmax ignores them (``-1e30`` rather than
+    ``-inf`` keeps fully-padded rows NaN-free).  The head dim is NEVER
+    padded — Mosaic pads lanes internally for free, and an
+    HBM-materialised pad to 128 measured ~40% of the ViViT train step
+    before it was removed (see ``flash_attention``).
   * Forward saves the per-row logsumexp so the backward pass can
     recompute probabilities blockwise (standard flash backward):
     one kernel accumulates dQ over kv blocks, a second accumulates
@@ -49,6 +51,14 @@ _LANES = 128
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def fits_single_block(s: int) -> bool:
+    """True when a sequence fits ONE kv block of the batched
+    single-block kernels (fused_mha / the fused ViT block).  The single
+    source of truth for the 512 VMEM-budget limit — attention.py and
+    models/layers.py consult this instead of copying the constant."""
+    return _round_up(s, _LANES) <= 512
 
 
 # ---------------------------------------------------------------------------

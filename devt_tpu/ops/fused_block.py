@@ -38,19 +38,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # single source of truth for dropout-mask semantics (cutoff + keep bits)
-from devt_tpu.ops.flash_attention import _random_keep
+from devt_tpu.ops.flash_attention import (NEG_INF, _LANES,
+                                            _random_keep, _round_up)
 
 # v5e has far more physical VMEM than the compiler's 16MB default scoped
 # limit; raising it per-kernel lets larger sequence groups pipeline.
 _VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
-NEG_INF = -1e30
-_LANES = 128
 LN_EPS = 1e-5
-
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
 
 
 def _ln(x32, gamma, beta):
