@@ -356,6 +356,80 @@ def bench_e2e_pipeline(tmp_root: str = "/tmp/devt_bench_corpus") -> dict:
             "unit": "samples/sec (host+device overlapped)"}
 
 
+def bench_pipeline_architecture(tmp_root: str = "/tmp/devt_bench_corpus"
+                                ) -> dict:
+    """Config 5b: the data pipeline architecture WITHOUT the environment
+    walls (VERDICT r2 §4).  The e2e number conflates the framework with
+    this environment's 1-core host and ~37 MB/s tunnel; here the corpus
+    is pre-decoded into RAM and the measured region is exactly the
+    framework's own machinery — Loader index sharding, thread-pool
+    assembly, collate, bounded-queue prefetch, and the u8-wire augment
+    (RandomErasing) — i.e. the per-batch host-side cost that must stay
+    under the chip's consumption rate on a real pod host.
+    """
+    import time
+
+    import numpy as np
+
+    from devt_tpu.config import Config
+    from devt_tpu.data import transforms as T
+    from devt_tpu.data.pipeline import Loader, device_prefetch
+
+    cfg = Config(model="vid", batch_size=32, seq_len=4, frame_len=12,
+                 n_classes=19, wire_format="u8")
+    rng = np.random.default_rng(0)
+    # 64 distinct pre-decoded samples (scene-packed u8 clips), ~1.8 GB/s
+    # of clip bytes per epoch at the vid shape
+    pool = rng.integers(0, 255, (64, cfg.seq_len, cfg.frame_len, 112, 112,
+                                 3), np.uint8)
+    labels = (rng.random((64, 19)) < 0.3).astype(np.float32)
+
+    class RamDataset:
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i):
+            import random as _r
+
+            r = _r.Random(i)
+            vid = pool[i]
+            # the u8 train-time augment the real packer applies per scene
+            vid = np.stack([
+                np.stack([T.random_erasing_u8(vid[s, f], r)
+                          for f in range(cfg.frame_len)])
+                for s in range(cfg.seq_len)])
+            return {"vid": vid, "label": labels[i]}
+
+    loader = Loader(RamDataset(), cfg.batch_size, shuffle=True,
+                    num_workers=8, process_index=0, process_count=1)
+
+    def epochs(n):
+        for _ in range(n):
+            yield from loader
+
+    n = 0
+    for b in device_prefetch(epochs(1), placer=lambda x: x, depth=2):
+        n += 1                                   # warm the thread pools
+    t0 = time.perf_counter()
+    n = 0
+    iters = 8
+    for b in device_prefetch(epochs(iters), placer=lambda x: x, depth=2):
+        n += cfg.batch_size
+    dt = time.perf_counter() - t0
+    rate = n / dt
+    clips = rate * cfg.seq_len                   # scene-clips per second
+    return {"name": "pipeline_architecture_host",
+            "value": round(rate, 1),
+            "unit": "samples/sec/host-core (in-RAM corpus, u8 augment)",
+            "detail": {
+                "clips_per_sec": round(clips, 1),
+                "ms_per_batch": round(1e3 * dt / (n / cfg.batch_size), 1),
+                "note": "Loader+collate+prefetch+u8 RandomErasing only — "
+                        "no decode, no H2D; multiply by pod-host cores "
+                        "for the feeding ceiling vs the north-star "
+                        "consumption rate"}}
+
+
 def bench_p50_preprocess_to_logits(
         tmp_root: str = "/tmp/devt_bench_corpus", trials: int = 20) -> dict:
     """Config 6 (BASELINE.json "metric"): p50 clip-preprocess-to-logits
@@ -415,7 +489,8 @@ def run_all() -> list[dict]:
     for fn in (bench_single_clip_cpu_fwd, bench_pyramid_inference,
                bench_two_modality_fusion, bench_dropout_train,
                bench_vivit_dropout_train, bench_distillation_train,
-               bench_e2e_pipeline, bench_p50_preprocess_to_logits):
+               bench_e2e_pipeline, bench_pipeline_architecture,
+               bench_p50_preprocess_to_logits):
         try:
             results.append(fn())
         except Exception as e:  # noqa: BLE001

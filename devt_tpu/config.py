@@ -128,11 +128,24 @@ class Config(Mapping[str, Any]):
     dp: int = -1                       # data-parallel size; -1 = all devices / mp
     mp: int = 1                        # model-parallel (tensor) size
     attention_impl: str = "auto"       # "auto" | "pallas" | "xla"
+    dp_mode: str = "auto"              # multi-device mp==1 strategy:
+                                       # "auto" = shard_map over data (fused
+                                       # Pallas kernels stay hot per chip);
+                                       # "gspmd" forces the pjit path
     remat: bool = False                # jax.checkpoint the transformer stacks
     log_every: int = 50
     eval_every_epochs: int = 1
     checkpoint_dir: str = "checkpoints"
     resume: str = ""                   # checkpoint path to restore
+    best_metric: str = ""              # validation metric key (e.g.
+                                       # "val/accuracy/epoch") that triggers
+                                       # a best/ checkpoint when it improves
+                                       # — the intent of the reference's
+                                       # commented ModelCheckpoint
+                                       # (src/main.py:57-58,
+                                       # callbacks.py:100-102)
+    best_mode: str = "max"             # "max" | "min" improvement direction
+    keep_best_k: int = 1               # best/ checkpoints retained
     max_steps: int = -1                # -1 = unbounded (epochs governs)
     profile_dir: str = ""              # non-empty: jax.profiler trace of
                                        # train steps 2..8 written here
@@ -156,6 +169,10 @@ class Config(Mapping[str, Any]):
             raise ValueError(f"unknown attention impl {self.attention_impl!r}")
         if self.wire_format not in ("f32", "u8"):
             raise ValueError(f"unknown wire format {self.wire_format!r}")
+        if self.dp_mode not in ("auto", "gspmd"):
+            raise ValueError(f"unknown dp_mode {self.dp_mode!r}")
+        if self.best_mode not in ("max", "min"):
+            raise ValueError(f"unknown best_mode {self.best_mode!r}")
 
     # Mapping protocol — call sites written against the reference's
     # ``wandb.config`` dict access keep working (src/main.py:32,37).

@@ -64,7 +64,7 @@ class _FrameClipPacker:
     (devt_tpu/native.py, the DALI-equivalent) when built, with the PIL path
     as fallback and for augmented train images."""
 
-    def __init__(self, config: Config, state: str, cycle: bool = False):
+    def __init__(self, config: Config, state: str):
         self.config = config
         self.state = state
         self.seq_len = config.seq_len
@@ -83,11 +83,22 @@ class _FrameClipPacker:
         # fills round(mean*255), so erasing configs keep the u8 wire.
         self.vid_u8 = (config.wire_format == "u8"
                        and self.native is not None and self.need_vid)
+        # u8 padding value: round(mean*255), which the on-device
+        # normalize maps to ~0 — matching the f32 wire's normalized-space
+        # zeros for empty/missing slots (train/serve parity across wire
+        # formats, ADVICE r2)
+        self._u8_fill = np.round(
+            transforms.KINETICS_MEAN * 255.0).astype(np.uint8)
 
     def empty(self):
         img = np.zeros((self.seq_len, 224, 224, 3), np.float32)
-        vid = np.zeros((self.seq_len, self.frame_len, 112, 112, 3),
-                       np.uint8 if self.vid_u8 else np.float32)
+        if self.vid_u8:
+            vid = np.broadcast_to(
+                self._u8_fill,
+                (self.seq_len, self.frame_len, 112, 112, 3)).copy()
+        else:
+            vid = np.zeros((self.seq_len, self.frame_len, 112, 112, 3),
+                           np.float32)
         return img, vid
 
     def sample_dict(self, label, img, vid) -> dict:
@@ -118,8 +129,12 @@ class _FrameClipPacker:
                 idxs = [min(k, n - 1) for k in range(self.frame_len)]
             erase = train and not cycle
             if self.vid_u8:
-                frames, _ = self.native.load_batch_u8(
+                frames, status = self.native.load_batch_u8(
                     [frame_paths[fi] for fi in idxs], 120, 112)
+                if np.any(status):
+                    # failed decodes: mean-fill (≈0 after device norm),
+                    # matching the f32 wire's zero-fill fault tolerance
+                    frames[status != 0] = self._u8_fill
                 if erase:
                     for k in range(self.frame_len):
                         frames[k] = transforms.random_erasing_u8(
@@ -162,7 +177,7 @@ class MMXFrameDataset:
         self.df = df
         self.config = config
         self.state = state
-        self.packer = _FrameClipPacker(config, state, cycle=False)
+        self.packer = _FrameClipPacker(config, state)
 
     def __len__(self) -> int:
         return len(self.df)
@@ -201,7 +216,7 @@ class MMXLightDataset:
         self.df = df
         self.config = config
         self.state = state
-        self.packer = _FrameClipPacker(config, state, cycle=True)
+        self.packer = _FrameClipPacker(config, state)
 
     def __len__(self) -> int:
         return len(self.df)

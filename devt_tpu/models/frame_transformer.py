@@ -73,6 +73,11 @@ class FrameTransformer(nn.Module):
     freeze_img: bool = True      # reference runs ImgResNet under no_grad
     img_size: int = 224
     vid_size: int = 112
+    # the reference hardcodes 0.5 in its PE and both encoders
+    # (frame_transformer.py:91-99) — that stays the parity default; the
+    # knob exists so training setups (and the convergence tests) can
+    # tune it without forking the model
+    dropout: float = 0.5
     attention_impl: str = "auto"
     remat: bool = False
     dtype: jnp.dtype = jnp.float32
@@ -89,14 +94,17 @@ class FrameTransformer(nn.Module):
 
         # PositionalEncoding(896, 0.5, max_len=14) — frame_transformer.py:91-93
         self.position_encoder = PositionalEncoding(
-            e, dropout=0.5, max_len=max_len + 1, name="position_encoder")
+            e, dropout=self.dropout, max_len=max_len + 1,
+            name="position_encoder")
         # TransformerBase(896, 128, 2, 512, 4, 0.5) — frame_transformer.py:99
         self.distil_transformer = TorchTransformerEncoder(
-            e, 2, 512, 4, dropout=0.5, attention_impl=self.attention_impl,
+            e, 2, 512, 4, dropout=self.dropout,
+            attention_impl=self.attention_impl,
             remat=self.remat, dtype=self.dtype, name="distil_transformer")
         # TransformerBase(896, 896, 4, 896, 4, 0.5) — frame_transformer.py:98
         self.scene_transformer = TorchTransformerEncoder(
-            e, 4, 896, 4, dropout=0.5, attention_impl=self.attention_impl,
+            e, 4, 896, 4, dropout=self.dropout,
+            attention_impl=self.attention_impl,
             remat=self.remat, dtype=self.dtype, name="scene_transformer")
 
         if self.use_cls:

@@ -9,20 +9,14 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
-# Set by make_mesh when the constructed mesh spans >1 device.  The
-# attention "auto" dispatch consults this (ops/attention._auto_pallas_ok):
-# a pallas_call is opaque to GSPMD, so once a real multi-device mesh is
-# in play the auto tier must keep the GSPMD-shardable jnp formulations.
-# Single-device work on a multi-chip host (no mesh built) keeps the
-# fused kernels; explicit impl="pallas" always forces them.
-multi_device_mesh_active: bool = False
-
-
 def make_mesh(dp: int = -1, mp: int = 1, devices=None) -> Mesh:
     """2-D ``(data, model)`` mesh.  ``dp=-1`` uses all devices / mp.
 
     On a multi-chip slice the axes ride ICI; XLA lowers the psum/all-gather
-    that GSPMD inserts onto the torus links.
+    that GSPMD inserts onto the torus links.  Execution strategy over the
+    mesh is chosen per step by parallel/train_step.py: shard_map over
+    ``data`` when mp == 1 (fused Pallas kernels stay hot per device),
+    GSPMD with the Megatron rules when mp > 1.
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
@@ -33,9 +27,6 @@ def make_mesh(dp: int = -1, mp: int = 1, devices=None) -> Mesh:
     if dp * mp > n:
         raise ValueError(f"mesh {dp}x{mp} exceeds {n} devices")
     grid = np.asarray(devices[: dp * mp]).reshape(dp, mp)
-    if dp * mp > 1:
-        global multi_device_mesh_active
-        multi_device_mesh_active = True
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 
 

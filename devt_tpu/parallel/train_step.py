@@ -9,24 +9,45 @@ with grad accumulation and fp16 present only as commented intent
   * grad accumulation is a ``lax.scan`` over microbatches
     (``config.accum_steps``), FLOP-equivalent to the reference's
     ``accumulate_grad_batches=8``;
-  * with a Mesh active and the batch sharded over ``data``, GSPMD turns
-    the global-mean loss gradient into a psum over ICI — no NCCL analogue
-    needed (SURVEY.md §2.8);
   * loss is computed in f32 while activations follow the model dtype
     (bf16 by default on TPU).
+
+Multi-device execution picks one of two strategies per mesh shape:
+
+  * **mp == 1 (pure data parallel)** — the step body runs under
+    ``jax.shard_map`` over the ``data`` axis: params/opt state replicated,
+    batch sharded, explicit ``lax.pmean`` of grads/loss over ICI.  Inside
+    the shard_map body every shape is concrete per-device, so the fused
+    Pallas kernels (ops/fused_block.py, ops/flash_attention.py) stay hot
+    on every chip — scaling does not abandon the single-chip kernel path.
+  * **mp > 1 (tensor parallel)** — GSPMD: the body is traced under
+    ``pallas_disabled()`` so attention keeps the jnp formulations, which
+    GSPMD partitions with the Megatron rules (parallel/sharding.py); the
+    psum after to_out/fc2 rides ICI.  (A pallas_call is opaque to GSPMD —
+    sharded operands cannot partition into the kernel.)
+
+With equal shard sizes the DP shard_map step is numerically identical to
+the single-device global-batch step for per-sample losses (pmean of
+shard-mean losses/grads == global mean), and for the contrastive loss via
+an explicit all-gather (train/steps.py).  BatchNorm models compute
+per-replica batch stats (torch-DDP semantics; running stats are pmean'd).
 """
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
 
 from devt_tpu.config import Config
+from devt_tpu.ops.attention import pallas_disabled
+from devt_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 from devt_tpu.train.state import TrainState
 from devt_tpu.train.steps import forward_and_loss
+
+_SCALAR_AUX = ("base_loss", "distil_loss", "cossim")
 
 
 def _split_microbatches(batch, accum: int):
@@ -37,43 +58,89 @@ def _split_microbatches(batch, accum: int):
     return jax.tree_util.tree_map(split, batch)
 
 
-def _make_step_body(model, config: Config) -> Callable:
+def mesh_strategy(mesh, config: Config | None = None) -> str:
+    """Execution strategy for a mesh: ``single`` | ``dp_shard_map`` |
+    ``gspmd``.  ``config.dp_mode`` can force ``gspmd`` for an mp==1 mesh
+    (escape hatch); ``auto`` picks shard_map so the Pallas kernels
+    survive scaling."""
+    if mesh is None or mesh.size == 1:
+        return "single"
+    shape = dict(mesh.shape)
+    if shape.get(MODEL_AXIS, 1) > 1 or DATA_AXIS not in shape:
+        return "gspmd"
+    if config is not None and getattr(config, "dp_mode", "auto") == "gspmd":
+        return "gspmd"
+    return "dp_shard_map"
+
+
+def _pvary(tree, axis_name: str):
+    """Mark a tree as varying over ``axis_name`` (shard_map vma typing:
+    scan carries initialised from replicated values but updated from
+    sharded data must enter the scan already-varying)."""
+    return jax.tree_util.tree_map(
+        lambda x: jax.lax.pcast(x, axis_name, to="varying"), tree)
+
+
+def _pmean_floats(tree, axis_name: str):
+    """pmean floating leaves across replicas; non-float leaves (none in
+    practice — BN stats are float) pass through."""
+    return jax.tree_util.tree_map(
+        lambda x: jax.lax.pmean(x, axis_name)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x, tree)
+
+
+def _make_step_body(model, config: Config,
+                    axis_name: str | None = None) -> Callable:
     """Un-jitted ``(state, batch, rng) -> (state, metrics)`` — one full
-    fwd+bwd+update.  Shared by the single-step and multi-step executors."""
+    fwd+bwd+update.  Shared by the single-step and multi-step executors.
+
+    With ``axis_name`` set the body is a shard_map DP replica: the rng is
+    decorrelated per replica (distinct dropout masks, as a global-batch
+    mask would give) and grads/loss/model-state are pmean'd over ICI
+    before the update, so every replica applies the identical
+    global-batch update to its replicated params.
+    """
     accum = max(config.accum_steps, 1)
 
     def loss_fn(params, model_state, batch, rng):
         variables = {"params": params, **model_state}
         loss, aux, new_model_state = forward_and_loss(
-            model, config, variables, batch, rng, train=True)
+            model, config, variables, batch, rng, train=True,
+            axis_name=axis_name)
         return loss, (aux, new_model_state)
 
     def train_step(state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
+        if axis_name is not None:
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
         if accum == 1:
             (loss, (aux, new_ms)), grads = grad_fn(
                 state.params, state.model_state, batch, rng)
+            aux = {k: aux[k] for k in _SCALAR_AUX
+                   if isinstance(aux, dict) and k in aux}
         else:
             micro = _split_microbatches(batch, accum)
-
-            scalar_keys = ("base_loss", "distil_loss", "cossim")
 
             def body(carry, mb_rng):
                 grads_acc, loss_acc, ms = carry
                 mb, r = mb_rng
                 (l, (a, new_ms)), g = grad_fn(state.params, ms, mb, r)
                 grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, g)
-                ys = {k: a[k] for k in scalar_keys if k in a}
+                ys = {k: a[k] for k in _SCALAR_AUX if k in a}
                 return (grads_acc, loss_acc + l, new_ms), ys
 
             zero_grads = jax.tree_util.tree_map(
                 lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
+            carry0 = (zero_grads, jnp.float32(0.0), state.model_state)
+            if axis_name is not None:
+                # the carry is updated from the sharded microbatches, so
+                # it must enter the scan typed varying-over-axis
+                carry0 = _pvary(carry0, axis_name)
             rngs = jax.random.split(rng, accum)
             (grads, loss, new_ms), stacked_aux = jax.lax.scan(
-                body, (zero_grads, jnp.float32(0.0), state.model_state),
-                (micro, rngs))
+                body, carry0, (micro, rngs))
             grads = jax.tree_util.tree_map(lambda g: g / accum, grads)
             loss = loss / accum
             # per-model scalar diagnostics survive accumulation as the
@@ -81,22 +148,51 @@ def _make_step_body(model, config: Config) -> Callable:
             # the large-batch configs that need accumulation)
             aux = {k: jnp.mean(v) for k, v in stacked_aux.items()}
 
+        if axis_name is not None:
+            # the DDP reduction, explicit: grad/loss pmean over ICI
+            grads = jax.lax.pmean(grads, axis_name)
+            loss = jax.lax.pmean(loss, axis_name)
+            aux = {k: jax.lax.pmean(v, axis_name) for k, v in aux.items()}
+            new_ms = _pmean_floats(new_ms, axis_name)
+
         new_state = state.apply_gradients(grads, new_ms)
-        metrics = {"loss": loss}
-        for k in ("base_loss", "distil_loss", "cossim"):
-            if isinstance(aux, dict) and k in aux:
-                metrics[k] = aux[k]
+        metrics = {"loss": loss, **aux}
         return new_state, metrics
 
     return train_step
 
 
-def make_train_step(model, config: Config) -> Callable:
-    """Returns jitted ``train_step(state, batch, rng) -> (state, metrics)``."""
-    return jax.jit(_make_step_body(model, config), donate_argnums=(0,))
+def _shard_map_dp(fn: Callable, mesh, batch_spec: P) -> Callable:
+    """Wrap a ``(state, batch, rng) -> (state, metrics)`` body in
+    shard_map over the data axis: state/rng replicated, batch sharded,
+    outputs replicated (the body pmeans everything cross-replica)."""
+    return jax.shard_map(
+        fn, mesh=mesh, in_specs=(P(), batch_spec, P()),
+        out_specs=(P(), P()))
 
 
-def make_multi_step(model, config: Config, n_steps: int) -> Callable:
+def make_train_step(model, config: Config, mesh=None) -> Callable:
+    """Returns jitted ``train_step(state, batch, rng) -> (state, metrics)``.
+
+    ``mesh`` selects the multi-device strategy (see module docstring);
+    ``None`` or a 1-device mesh is the plain single-program path.
+    """
+    strategy = mesh_strategy(mesh, config)
+    if strategy == "dp_shard_map":
+        body = _make_step_body(model, config, axis_name=DATA_AXIS)
+        return jax.jit(_shard_map_dp(body, mesh, P(DATA_AXIS)),
+                       donate_argnums=(0,))
+    body = _make_step_body(model, config)
+    if strategy == "gspmd":
+        def traced(state, batch, rng):
+            with pallas_disabled():
+                return body(state, batch, rng)
+        return jax.jit(traced, donate_argnums=(0,))
+    return jax.jit(body, donate_argnums=(0,))
+
+
+def make_multi_step(model, config: Config, n_steps: int,
+                    mesh=None) -> Callable:
     """Returns jitted ``multi_step(state, batches, rng) -> (state, metrics)``
     running ``n_steps`` FULL train steps (each fwd+bwd+optimizer update) as
     one XLA program via ``lax.scan``.
@@ -109,9 +205,12 @@ def make_multi_step(model, config: Config, n_steps: int) -> Callable:
     Per-step randomness still folds ``state.step`` into the rng, identical
     to n_steps separate calls.  Returned metrics are the scan-stacked
     per-step values reduced to their mean (loss curves stay visible at
-    multi-step granularity).
+    multi-step granularity).  Under a DP mesh the scan runs inside the
+    shard_map replica, so the Pallas kernels serve every unrolled step.
     """
-    body = _make_step_body(model, config)
+    strategy = mesh_strategy(mesh, config)
+    axis = DATA_AXIS if strategy == "dp_shard_map" else None
+    body = _make_step_body(model, config, axis_name=axis)
 
     def multi_step(state: TrainState, batches, rng):
         def scan_body(carry, batch):
@@ -122,12 +221,28 @@ def make_multi_step(model, config: Config, n_steps: int) -> Callable:
         return state, jax.tree_util.tree_map(
             lambda v: jnp.mean(v, axis=0), stacked)
 
+    if strategy == "dp_shard_map":
+        return jax.jit(_shard_map_dp(multi_step, mesh, P(None, DATA_AXIS)),
+                       donate_argnums=(0,))
+    if strategy == "gspmd":
+        def traced(state, batches, rng):
+            with pallas_disabled():
+                return multi_step(state, batches, rng)
+        return jax.jit(traced, donate_argnums=(0,))
     return jax.jit(multi_step, donate_argnums=(0,))
 
 
-def make_eval_step(model, config: Config) -> Callable:
+def make_eval_step(model, config: Config, mesh=None) -> Callable:
     """Returns jitted ``eval_step(state, batch) -> (loss, aux)`` — the
-    validation/test step feeding the epoch-end evaluators."""
+    validation/test step feeding the epoch-end evaluators.
+
+    Eval always runs as one GSPMD program (aux carries per-sample
+    probs/labels/embeddings whose global concatenation the evaluators
+    want; GSPMD keeps global-batch semantics — incl. the contrastive
+    negatives pool — with zero extra code).  Under a >1-device mesh it
+    traces with the Pallas auto-tier disabled, since its operands arrive
+    sharded.
+    """
 
     def eval_step(state: TrainState, batch):
         variables = {"params": state.params, **state.model_state}
@@ -135,4 +250,9 @@ def make_eval_step(model, config: Config) -> Callable:
             model, config, variables, batch, rng=None, train=False)
         return loss, aux
 
+    if mesh is not None and mesh.size > 1:
+        def traced(state, batch):
+            with pallas_disabled():
+                return eval_step(state, batch)
+        return jax.jit(traced)
     return jax.jit(eval_step)

@@ -129,7 +129,8 @@ class SSLOnlineEval(Callback):
     """
 
     def __init__(self, z_dim: int, num_classes: int, hidden: int = 512,
-                 lr: float = 0.005, drop_p: float = 0.1, seed: int = 0):
+                 lr: float = 0.005, drop_p: float = 0.1, seed: int = 0,
+                 target_names: Sequence[str] = MMX_GENRES_15):
         import jax
         import jax.numpy as jnp
         import optax
@@ -137,6 +138,7 @@ class SSLOnlineEval(Callback):
         from devt_tpu.models import losses
 
         self.thresholds = (0.0, 0.1, 0.2, 0.3, 0.4, 0.5)
+        self.target_names = target_names
         key = jax.random.PRNGKey(seed)
         k1, k2 = jax.random.split(key)
         scale1 = (2.0 / z_dim) ** 0.5
@@ -149,18 +151,25 @@ class SSLOnlineEval(Callback):
         }
         self.tx = optax.sgd(lr)
         self.opt_state = self.tx.init(self.params)
+        self._rng = jax.random.PRNGKey(seed + 1)
 
-        def probe_logits(params, z):
+        def probe_logits(params, z, rng=None):
+            # dropout p on the hidden activations while the probe trains
+            # (the reference's SSLEvaluator carries Dropout(drop_p),
+            # callbacks.py:162-167 via pl_bolts); eval is deterministic
             h = jnp.maximum(z @ params["w1"] + params["b1"], 0.0)
+            if rng is not None and drop_p > 0.0:
+                keep = jax.random.bernoulli(rng, 1.0 - drop_p, h.shape)
+                h = jnp.where(keep, h / (1.0 - drop_p), 0.0)
             return h @ params["w2"] + params["b2"]
 
-        def loss_fn(params, z, y):
-            probs = jax.nn.sigmoid(probe_logits(params, z))
+        def loss_fn(params, z, y, rng):
+            probs = jax.nn.sigmoid(probe_logits(params, z, rng))
             return losses.bce(probs, y)
 
         @jax.jit
-        def train_probe(params, opt_state, z, y):
-            loss, grads = jax.value_and_grad(loss_fn)(params, z, y)
+        def train_probe(params, opt_state, z, y, rng):
+            loss, grads = jax.value_and_grad(loss_fn)(params, z, y, rng)
             updates, opt_state = self.tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss
@@ -171,8 +180,9 @@ class SSLOnlineEval(Callback):
     def on_train_batch_end(self, aux, logger, step):
         import jax
         z = jax.lax.stop_gradient(aux["embedding"])
+        self._rng, sub = jax.random.split(self._rng)
         self.params, self.opt_state, loss = self._train_probe(
-            self.params, self.opt_state, z, aux["label"])
+            self.params, self.opt_state, z, aux["label"], sub)
         logger.log({"train/online/loss": float(loss)}, step)
 
     def eval_batch(self, aux, buffers):
@@ -200,5 +210,18 @@ class SSLOnlineEval(Callback):
             out[f"val/online/avg_precision@{t}"] = float(
                 average_precision_score(labels, preds, average="weighted"))
         logger.log(out, step)
+        # per-sample truth/guess table of the first 20 samples @0.3 — the
+        # reference's wandb.Table (src/callbacks/callbacks.py:285-291)
+        names = self.target_names[: labels.shape[1]]
+
+        def translate(vec):
+            return [names[i] for i, x in enumerate(vec) if x and i < len(names)]
+
+        guesses = (probs > 0.3).astype(int)
+        rows = [(translate(labels[i]), translate(guesses[i]))
+                for i in range(min(20, len(labels)))]
+        if hasattr(logger, "log_table"):
+            logger.log_table("val/online/table", ["truth", "guess"], rows,
+                             step)
         buffers.reset()
         return out

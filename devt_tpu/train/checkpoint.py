@@ -59,6 +59,10 @@ class AsyncSaver:
         config.save_yaml(os.path.join(ckpt_dir, "config.yaml"))
         return path
 
+    def wait(self) -> None:
+        """Block until the in-flight write (if any) is finalized."""
+        self._ckptr.wait_until_finished()
+
     def close(self) -> None:
         self._ckptr.wait_until_finished()
         self._ckptr.close()
@@ -77,6 +81,26 @@ def restore(path: str, state: TrainState) -> TrainState:
     return state.replace(step=payload["step"], params=payload["params"],
                          model_state=payload["model_state"],
                          opt_state=payload["opt_state"])
+
+
+def prune_checkpoints(ckpt_dir: str, keep: int) -> None:
+    """Retention policy: keep the ``keep`` highest-step ``step_*``
+    checkpoints in ``ckpt_dir`` and delete the rest (used by the best-
+    metric saver — the reference's ModelCheckpoint ``save_top_k`` intent,
+    src/main.py:57-58)."""
+    import shutil
+
+    if not os.path.isdir(ckpt_dir) or keep < 1:
+        return
+    steps = []
+    for name in os.listdir(ckpt_dir):
+        if name.startswith("step_"):
+            try:
+                steps.append((int(name.split("_", 1)[1]), name))
+            except ValueError:
+                continue
+    for _, name in sorted(steps)[:-keep]:
+        shutil.rmtree(os.path.join(ckpt_dir, name), ignore_errors=True)
 
 
 def latest_checkpoint(ckpt_dir: str) -> str | None:

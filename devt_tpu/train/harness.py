@@ -17,6 +17,7 @@ jitted train step:
 
 from __future__ import annotations
 
+import os
 from typing import Any, Sequence
 
 import jax
@@ -28,6 +29,13 @@ from devt_tpu.parallel.mesh import make_mesh, shard_batch
 from devt_tpu.parallel.sharding import shard_variables
 from devt_tpu.parallel.train_step import (make_eval_step, make_multi_step,
                                           make_train_step)
+from devt_tpu.train import checkpoint as ckpt_lib
+from devt_tpu.train.callbacks import Callback
+from devt_tpu.train.loggers import JsonlLogger
+from devt_tpu.train.metrics import RunningBuffers
+from devt_tpu.train.optimizers import build_optimizer
+from devt_tpu.train.profiling import StepTimer
+from devt_tpu.train.state import TrainState
 
 
 def _stacked(iterator, k: int):
@@ -42,13 +50,6 @@ def _stacked(iterator, k: int):
             yield jax.tree_util.tree_map(
                 lambda *xs: jnp.stack(xs), *group)
             group = []
-from devt_tpu.train import checkpoint as ckpt_lib
-from devt_tpu.train.callbacks import Callback
-from devt_tpu.train.loggers import JsonlLogger
-from devt_tpu.train.metrics import RunningBuffers
-from devt_tpu.train.optimizers import build_optimizer
-from devt_tpu.train.profiling import StepTimer
-from devt_tpu.train.state import TrainState
 
 
 class Trainer:
@@ -120,95 +121,131 @@ class Trainer:
         state = self._init_state(model, example, steps_per_epoch)
         self._saver = ckpt_lib.AsyncSaver()
 
-        train_step = make_train_step(model, cfg)
-        eval_step = make_eval_step(model, cfg)
+        train_step = make_train_step(model, cfg, mesh=self.mesh)
+        eval_step = make_eval_step(model, cfg, mesh=self.mesh)
         needs_train_aux = any(getattr(cb, "on_train_batch_end", None)
                               and type(cb).on_train_batch_end
                               is not Callback.on_train_batch_end
                               for cb in self.callbacks)
         unroll = max(cfg.unroll_steps, 1)
-        multi_step = (make_multi_step(model, cfg, unroll)
+        multi_step = (make_multi_step(model, cfg, unroll, mesh=self.mesh)
                       if unroll > 1 and not needs_train_aux else None)
 
         global_step = int(state.step)
         timer = StepTimer()
         profiling_on = False
-        run_steps = 0      # steps executed in THIS run — the profiler
+        run_steps = 0      # TRAIN steps executed in THIS run (multi-step
+                           # launches count as ``unroll``) — the profiler
                            # window must not shift (or capture the fresh
                            # compile) when resuming from a checkpoint
-        for epoch in range(cfg.epochs):
-            # device-side double buffering: batches are device_put
-            # ``host_batch_prefetch`` steps ahead of consumption, so the
-            # H2D copy of step N+1 overlaps step N's compute
-            placed_iter = device_prefetch(
-                datamodule.train_batches(), placer=self._place,
-                depth=max(cfg.host_batch_prefetch, 1))
-            if multi_step is not None:
-                placed_iter = _stacked(placed_iter, unroll)
-            for placed in placed_iter:
-                if cfg.profile_dir:
-                    # trace run-steps 2..8: past compile/warmup, short
+        try:
+            for epoch in range(cfg.epochs):
+                # device-side double buffering: batches are device_put
+                # ``host_batch_prefetch`` steps ahead of consumption, so
+                # the H2D copy of step N+1 overlaps step N's compute
+                placed_iter = device_prefetch(
+                    datamodule.train_batches(), placer=self._place,
+                    depth=max(cfg.host_batch_prefetch, 1))
+                if multi_step is not None:
+                    placed_iter = _stacked(placed_iter, unroll)
+                for placed in placed_iter:
+                    # trace the steady state: start once ≥2 train steps
+                    # ran (past compile/warmup), stop once ≥8 have — short
                     # enough to stay TensorBoard-loadable
-                    if not profiling_on and run_steps == 2:
+                    if cfg.profile_dir and not profiling_on \
+                            and run_steps >= 2:
                         import jax.profiler as _prof
                         _prof.start_trace(cfg.profile_dir)
                         profiling_on = True
-                    elif profiling_on and run_steps >= 8:
+                    if multi_step is not None:
+                        state, metrics = multi_step(state, placed, self._rng)
+                        global_step += unroll
+                        run_steps += unroll
+                    else:
+                        state, metrics = train_step(state, placed, self._rng)
+                        global_step += 1
+                        run_steps += 1
+                    if profiling_on and run_steps >= 8:
                         import jax.profiler as _prof
                         float(metrics["loss"])      # sync before stopping
                         _prof.stop_trace()
                         profiling_on = False
-                run_steps += 1
-                if multi_step is not None:
-                    state, metrics = multi_step(state, placed, self._rng)
-                    global_step += unroll
-                else:
-                    state, metrics = train_step(state, placed, self._rng)
-                    global_step += 1
-                if needs_train_aux:
-                    _, aux = eval_step(state, placed)
-                    for cb in self.callbacks:
-                        cb.on_train_batch_end(aux, self.logger, global_step)
-                log_hit = (global_step % cfg.log_every < unroll) \
-                    if multi_step else global_step % cfg.log_every == 0
-                if log_hit:
-                    # the loss readback is the async-safe sync point
-                    timer.mark_step(metrics["loss"])
-                    loss_val = float(metrics["loss"])
-                    if not np.isfinite(loss_val):
-                        # failure detection: a non-finite loss is
-                        # unrecoverable in-flight — surface it immediately
-                        # with the step for checkpoint-based recovery
-                        self.logger.log({"train/loss": loss_val,
-                                         "fatal": "non-finite loss"},
-                                        global_step)
-                        raise FloatingPointError(
-                            f"non-finite loss {loss_val} at step "
-                            f"{global_step}; last checkpoint in "
-                            f"{cfg.checkpoint_dir!r}")
-                    rec = {"train/loss": loss_val, "epoch": epoch}
-                    rec.update(timer.summary(
-                        items_per_step=cfg.batch_size * cfg.log_every))
-                    self.logger.log(rec, global_step)
-                else:
-                    timer.mark_step()
+                    if needs_train_aux:
+                        _, aux = eval_step(state, placed)
+                        for cb in self.callbacks:
+                            cb.on_train_batch_end(aux, self.logger,
+                                                  global_step)
+                    log_hit = (global_step % cfg.log_every < unroll) \
+                        if multi_step else global_step % cfg.log_every == 0
+                    if log_hit:
+                        # the loss readback is the async-safe sync point
+                        timer.mark_step(metrics["loss"])
+                        loss_val = float(metrics["loss"])
+                        if not np.isfinite(loss_val):
+                            # failure detection: a non-finite loss is
+                            # unrecoverable in-flight — surface it
+                            # immediately with the step for
+                            # checkpoint-based recovery
+                            self.logger.log({"train/loss": loss_val,
+                                             "fatal": "non-finite loss"},
+                                            global_step)
+                            raise FloatingPointError(
+                                f"non-finite loss {loss_val} at step "
+                                f"{global_step}; last checkpoint in "
+                                f"{cfg.checkpoint_dir!r}")
+                        rec = {"train/loss": loss_val, "epoch": epoch}
+                        rec.update(timer.summary(
+                            items_per_step=cfg.batch_size * cfg.log_every))
+                        self.logger.log(rec, global_step)
+                    else:
+                        timer.mark_step()
+                    if 0 < cfg.max_steps <= global_step:
+                        break
+
+                if (epoch + 1) % cfg.eval_every_epochs == 0:
+                    results = self.validate(model, datamodule, state,
+                                            eval_step, global_step)
+                    self._maybe_save_best(results, state, global_step)
+                    # async: the write streams while the next epoch trains
+                    self._saver.save(cfg.checkpoint_dir, state, cfg)
                 if 0 < cfg.max_steps <= global_step:
                     break
 
-            if (epoch + 1) % cfg.eval_every_epochs == 0:
-                self.validate(model, datamodule, state, eval_step,
-                              global_step)
-                # async: the write streams while the next epoch trains
-                self._saver.save(cfg.checkpoint_dir, state, cfg)
-            if 0 < cfg.max_steps <= global_step:
-                break
-
-        if profiling_on:
-            import jax.profiler as _prof
-            _prof.stop_trace()
-        self._saver.save(cfg.checkpoint_dir, state, cfg)
-        self._saver.close()
+            self._saver.save(cfg.checkpoint_dir, state, cfg)
+        finally:
+            # always await in-flight async writes, even on the
+            # non-finite-loss abort path (ADVICE r2)
+            if profiling_on:
+                import jax.profiler as _prof
+                _prof.stop_trace()
+            self._saver.close()
         return state
+
+    # ------------------------------------------------------------------
+    def _maybe_save_best(self, results: dict, state, step: int) -> None:
+        """Best-metric checkpointing: when ``config.best_metric`` improves,
+        save to ``<checkpoint_dir>/best`` and keep the newest
+        ``keep_best_k`` — the reference's commented ModelCheckpoint /
+        best-acc intent (src/main.py:57-58, callbacks.py:100-102)
+        implemented properly."""
+        cfg = self.config
+        key = cfg.best_metric
+        if not key or key not in results:
+            return
+        value = float(results[key])
+        best = getattr(self, "_best_value", None)
+        improved = best is None or (
+            value > best if cfg.best_mode == "max" else value < best)
+        if not improved:
+            return
+        self._best_value = value
+        best_dir = os.path.join(cfg.checkpoint_dir, "best")
+        self._saver.save(best_dir, state, cfg, step=step)
+        # best saves are rare (metric must improve): await the write so
+        # the retention pass sees the finalized directory
+        self._saver.wait()
+        ckpt_lib.prune_checkpoints(best_dir, max(cfg.keep_best_k, 1))
+        self.logger.log({f"best/{key}": value}, step)
 
     # ------------------------------------------------------------------
     def validate(self, model, datamodule, state, eval_step=None,

@@ -38,6 +38,13 @@ class JsonlLogger:
     def log_text(self, key: str, text: str, step: int | None = None) -> None:
         self.log({key: text}, step)
 
+    def log_table(self, key: str, columns, rows, step: int | None = None
+                  ) -> None:
+        """Tabular record (the reference's wandb.Table surface,
+        src/callbacks/callbacks.py:285-291) as one JSONL entry."""
+        self.log({key: {"columns": list(columns),
+                        "data": [list(r) for r in rows]}}, step)
+
     def close(self) -> None:
         self._fh.close()
 
@@ -56,6 +63,14 @@ class WandbLogger:
 
     def log_text(self, key, text, step=None):
         self._run.log({key: text}, step=step)
+
+    def log_table(self, key, columns, rows, step=None):
+        import wandb
+
+        table = wandb.Table(columns=list(columns))
+        for r in rows:
+            table.add_data(*r)
+        self._run.log({key: table}, step=step)
 
     def close(self):
         self._run.finish()

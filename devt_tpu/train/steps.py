@@ -34,8 +34,16 @@ from devt_tpu.models.frame_transformer import VARIANTS as FT_VARIANTS
 
 
 def forward_and_loss(model, config: Config, variables, batch, rng,
-                     train: bool):
-    """Returns (loss, aux, new_model_state)."""
+                     train: bool, axis_name: str | None = None):
+    """Returns (loss, aux, new_model_state).
+
+    ``axis_name`` is set when the body runs inside ``shard_map`` over the
+    data mesh axis (parallel/train_step.py DP path): per-sample losses
+    need nothing (the step pmeans them), but the contrastive loss must
+    score against the *global* negatives pool, so its projections are
+    all-gathered across replicas — the reference's NT_Xent ``world_size``
+    semantics (src/models/losses/ntxent.py:6-25).
+    """
     from devt_tpu.data.device_norm import maybe_dequantize_batch
 
     name = config.model
@@ -122,6 +130,14 @@ def forward_and_loss(model, config: Config, variables, batch, rng,
                                      _variables={**variables, **mut})
         z_i = l2_normalize(proj_i)
         z_j = l2_normalize(proj_j)
+        if axis_name is not None:
+            # all-gather over ICI: every replica scores its positives
+            # against the global pool; with the DP step's grad pmean the
+            # parameter gradient equals the single-device global-batch
+            # gradient exactly (all_gather's transpose psum-scatters the
+            # per-replica cotangents back to the owning shard).
+            z_i = jax.lax.all_gather(z_i, axis_name, axis=0, tiled=True)
+            z_j = jax.lax.all_gather(z_j, axis_name, axis=0, tiled=True)
         loss = losses.contrastive_loss(z_i, z_j,
                                        temperature=config.temperature)
         return loss, {"embedding": emb_i, "label": label,

@@ -79,29 +79,32 @@ def test_auto_impl_on_cpu_is_xla():
     np.testing.assert_allclose(out, ref, atol=1e-6)
 
 
-def test_auto_keeps_xla_under_multi_device_mesh(monkeypatch):
-    """'auto' must not pick Pallas once a >1-device mesh is active:
-    pallas_call is opaque to GSPMD, so sharded operands can't partition
-    into the kernel — the jnp path (Megatron-shardable) is the
-    multi-chip tier.  Without a mesh (even on a multi-chip host) the
-    fused kernels stay on."""
+def test_auto_keeps_xla_under_pallas_disabled(monkeypatch):
+    """'auto' must not pick Pallas while tracing a GSPMD body whose
+    operands may be sharded (pallas_call is opaque to GSPMD) — the jnp
+    path (Megatron-shardable) is the tensor-parallel tier.  The signal
+    is the scope-bounded ``pallas_disabled`` context (ADVICE r2 replaced
+    the round-2 write-once module global: building a mesh no longer
+    permanently disables fused kernels for later single-device work)."""
     from devt_tpu.models.layers import ViTBlock
     from devt_tpu.ops import attention as att
     from devt_tpu.parallel import mesh as mesh_mod
 
     monkeypatch.setattr(att.jax, "default_backend", lambda: "tpu")
-    monkeypatch.setattr(mesh_mod, "multi_device_mesh_active", False)
     assert att._auto_pallas_ok()
 
-    # building a multi-device mesh flips the signal
-    mesh_mod.make_mesh(dp=8, mp=1)
-    assert mesh_mod.multi_device_mesh_active
-    assert not att._auto_pallas_ok()
     block = ViTBlock(64, 2, 32, 128)
     x = jnp.zeros((2, 16, 64))
-    assert not block._fused_eligible(x, deterministic=True)
+    with att.pallas_disabled():
+        assert not att._auto_pallas_ok()
+        assert not block._fused_eligible(x, deterministic=True)
+        with att.pallas_disabled():    # re-entrant
+            assert not att._auto_pallas_ok()
+        assert not att._auto_pallas_ok()
 
-    # a 1-device mesh does not
-    monkeypatch.setattr(mesh_mod, "multi_device_mesh_active", False)
-    mesh_mod.make_mesh(dp=1, mp=1, devices=att.jax.devices()[:1])
+    # scope-bounded: fused kernels come back after the context exits,
+    # and building meshes (any path) does not disturb the signal
     assert att._auto_pallas_ok()
+    mesh_mod.make_mesh(dp=8, mp=1)
+    assert att._auto_pallas_ok()
+    assert block._fused_eligible(x, deterministic=True)

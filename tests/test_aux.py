@@ -145,3 +145,51 @@ def test_profile_dir_flag_writes_trace(tmp_path):
                 "--checkpoint_dir", str(tmp_path / "ck")])
     found = [f for _, _, fs in os.walk(tmp_path / "prof") for f in fs]
     assert found, "no profiler artifacts written"
+
+
+def test_ssl_probe_dropout_is_used():
+    """drop_p must affect probe training (ADVICE r2: it used to be
+    accepted and silently ignored — identical updates for any value)."""
+    rng = np.random.default_rng(1)
+    z = jnp.asarray(rng.standard_normal((16, 8)), jnp.float32)
+    y = jnp.asarray((rng.random((16, 3)) < 0.4).astype(np.float32))
+    aux = {"embedding": z, "label": y}
+    logger = JsonlLogger(log_dir="/tmp/devt_probe_test", name="drop")
+
+    p0 = SSLOnlineEval(z_dim=8, num_classes=3, drop_p=0.0, seed=3)
+    p9 = SSLOnlineEval(z_dim=8, num_classes=3, drop_p=0.9, seed=3)
+    p0.on_train_batch_end(aux, logger, 0)
+    p9.on_train_batch_end(aux, logger, 0)
+    diffs = [not np.allclose(np.asarray(a), np.asarray(b))
+             for a, b in zip(jax.tree_util.tree_leaves(p0.params),
+                             jax.tree_util.tree_leaves(p9.params))]
+    assert any(diffs)
+    # eval path stays deterministic (no dropout at inference)
+    l1 = p9._probe(p9.params, z)
+    l2 = p9._probe(p9.params, z)
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+
+def test_ssl_val_logs_truth_guess_table(tmp_path):
+    """Epoch end exports the per-sample truth/guess table — the
+    reference's wandb.Table (src/callbacks/callbacks.py:285-291)."""
+    rng = np.random.default_rng(2)
+    probe = SSLOnlineEval(z_dim=8, num_classes=5, seed=1)
+    logger = JsonlLogger(log_dir=str(tmp_path), name="tbl")
+    buffers = RunningBuffers()
+    aux = {"embedding": jnp.asarray(rng.standard_normal((30, 8)),
+                                    jnp.float32),
+           "label": jnp.asarray((rng.random((30, 5)) < 0.4)
+                                .astype(np.float32))}
+    probe.eval_batch(aux, buffers)
+    probe.on_validation_epoch_end(buffers, logger, step=7)
+    logger.close()
+    recs = [json.loads(l) for l in open(logger.path)]
+    tables = [r for r in recs if "val/online/table" in r]
+    assert tables, "truth/guess table record missing"
+    table = tables[0]["val/online/table"]
+    assert table["columns"] == ["truth", "guess"]
+    assert 0 < len(table["data"]) <= 20
+    # entries are genre-name lists
+    assert all(isinstance(row[0], list) and isinstance(row[1], list)
+               for row in table["data"])

@@ -319,3 +319,41 @@ def test_random_erasing_torchvision_default_and_u8_twin():
     dq = np.asarray(dequantize(jnp.asarray(out8[None]), T.KINETICS_MEAN,
                                T.KINETICS_STD, dtype=jnp.float32))[0]
     assert np.abs(dq[box]).max() < 0.01
+
+
+def test_u8_wire_padding_matches_f32_normalized_zeros():
+    """Empty slots and failed decodes on the u8 wire must land at ~0 in
+    normalized space after device norm — matching the f32 wire's
+    zero-fill — not at -mean/std (ADVICE r2: wire formats used to give
+    padded samples different model inputs)."""
+    import pytest
+
+    import jax.numpy as jnp
+
+    from devt_tpu import native
+    from devt_tpu.data import transforms as T
+    from devt_tpu.data.device_norm import dequantize
+    from devt_tpu.data.mmx_frame import _FrameClipPacker
+
+    if not native.available():
+        pytest.skip("native library not built")
+    cfg = Config(model="vid", batch_size=1, seq_len=2, frame_len=3,
+                 wire_format="u8")
+    packer = _FrameClipPacker(cfg, "val")
+    assert packer.vid_u8
+    _, vid = packer.empty()
+    assert vid.dtype == np.uint8
+    # buffer is mean-filled, not zero-filled
+    assert np.all(vid[0, 0, 0, 0] == np.round(T.KINETICS_MEAN * 255))
+    normed = np.asarray(dequantize(
+        jnp.asarray(vid[0, 0]), T.KINETICS_MEAN, T.KINETICS_STD,
+        dtype=jnp.float32))
+    assert np.all(np.abs(normed) < 0.01)
+
+    # failed decodes inside pack_scene get the same mean fill
+    import random as _random
+    img, vid = packer.empty()
+    vid[:] = 0
+    packer.pack_scene(img, vid, 0, ["/nonexistent/frame.png"] * 3,
+                      _random.Random(0), cycle=False)
+    assert np.all(vid[0, 0, 0, 0] == np.round(T.KINETICS_MEAN * 255))

