@@ -79,6 +79,12 @@ class ContrastiveEncoder(nn.Module):
     output_shape: int = 128
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    # When set (the shard_map DP step sets it to the data axis), batch
+    # stats are psum'd across replicas — SyncBN over ICI.  Required for
+    # global-batch semantics: NT-Xent gathers a global negatives pool, so
+    # per-replica BN stats (degenerate at small per-device batches) would
+    # break loss parity with the single-device global-batch step.
+    bn_sync_axis: str | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -88,7 +94,8 @@ class ContrastiveEncoder(nn.Module):
                      name="enc_fc1")(x)
         h = nn.relu(h)
         h = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
-                         epsilon=BN_EPS, dtype=self.dtype, name="enc_bn")(h)
+                         epsilon=BN_EPS, dtype=self.dtype, name="enc_bn",
+                         axis_name=self.bn_sync_axis)(h)
         h = nn.Dense(self.hidden_layer, use_bias=False, dtype=self.dtype,
                      name="enc_fc2")(h)
         h = nn.relu(h)

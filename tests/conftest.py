@@ -25,10 +25,9 @@ if not os.environ.get("DEVT_TESTS_ON_TPU"):
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# Persistent XLA compilation cache: the heavyweight graphs (conv-backbone
-# train steps compile for ~3 min on this 1-core host) compile once per
-# machine instead of once per pytest invocation.
-import jax as _jax  # noqa: E402
-
-_jax.config.update("jax_compilation_cache_dir", "/tmp/devt_jax_cache")
-_jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+# NOTE: no persistent XLA compilation cache here.  An attempt to share
+# /tmp cache entries across differently-flagged processes made XLA:CPU
+# load AOT results whose target machine features mismatched the host
+# ("+prefer-no-gather ... could lead to execution errors such as
+# SIGILL") — silently different numerics between processes.  Compile
+# time is paid per invocation instead.
