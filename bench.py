@@ -271,6 +271,26 @@ def bench_distillation_train(batch_size: int = 2) -> dict:
             "unit": "samples/sec/chip"}
 
 
+def bench_distillation_train_b8() -> dict:
+    """Config 4b: the distillation step at batch 8.  Profiling (round 3,
+    NOTES_NEXT_ROUND.md) shows the b=2 reference config is
+    occupancy-bound: r2plus1d-18 convs are 97% of the FLOPs at ~20% MFU
+    because 10-clip conv3d batches cannot fill the MXU; per-sample cost
+    falls 27.5→15.5 ms by b=8 (~29% MFU)."""
+    from devt_tpu.config import Config
+    from devt_tpu.registry import example_batch
+
+    cfg = Config(model="distil", batch_size=8, seq_len=4,
+                 frame_len=12, n_classes=19)
+    batch = example_batch(cfg)
+    rate = _device_train_bench("distil", batch, 8, seq_len=4,
+                               frame_len=12, n_classes=19, iters=5)
+    return {"name": "distillation_train_b8", "value": round(rate, 2),
+            "unit": "samples/sec/chip",
+            "note": "occupancy headroom of the b2 reference config; "
+                    "see the round-3 speed-of-light analysis"}
+
+
 def _ensure_corpus(tmp_root: str) -> str:
     """One synthetic frame corpus shared by every pipeline bench (the
     e2e and p50 configs must measure the SAME dataset)."""
@@ -489,6 +509,7 @@ def run_all() -> list[dict]:
     for fn in (bench_single_clip_cpu_fwd, bench_pyramid_inference,
                bench_two_modality_fusion, bench_dropout_train,
                bench_vivit_dropout_train, bench_distillation_train,
+               bench_distillation_train_b8,
                bench_e2e_pipeline, bench_pipeline_architecture,
                bench_p50_preprocess_to_logits):
         try:

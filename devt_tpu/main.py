@@ -102,12 +102,29 @@ def parse_args(argv=None) -> Config:
 
 
 def main(argv=None):
+    import jax
+
+    from devt_tpu.parallel import distributed
+
     config = parse_args(argv)
+    # multi-host runs initialise jax.distributed when the env asks for it
+    # (JAX_COORDINATOR_ADDRESS / TPU pod metadata); single host is a no-op
+    distributed.initialize()
     model = build_model(config)
     dm = build_datamodule(config)
     logger = build_logger(config)
+    # >1 visible device → train over the (data, model) mesh: mp==1 runs
+    # the shard_map DP step (fused kernels per chip), mp>1 GSPMD.  The
+    # mesh engages only when the global batch divides over the data axis;
+    # otherwise (e.g. debug runs with tiny batches) fall back to one
+    # device rather than erroring.
+    n_dev = len(jax.devices())
+    mp = max(config.mp, 1)
+    dp = config.dp if config.dp != -1 else max(n_dev // mp, 1)
+    use_mesh = (dp * mp > 1 and config.batch_size % max(dp, 1) == 0
+                and n_dev >= dp * mp)
     trainer = Trainer(config, callbacks=build_callbacks(config),
-                      logger=logger)
+                      logger=logger, use_mesh=use_mesh)
     if config.test:
         results = trainer.test(model, dm, ckpt_path=config.resume)
     else:
