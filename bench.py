@@ -19,7 +19,7 @@ BASELINE_CLIPS_PER_SEC = 1500.0
 
 def run_bench(batch_size: int = 32, frames: int = 16, image: int = 224,
               iters: int = 20, warmup: int = 3, unroll: int = 8,
-              model_kwargs: dict | None = None) -> dict:
+              model_kwargs: dict | None = None, tokens: bool = False) -> dict:
     """``unroll`` > 1 runs the framework's multi-step executor
     (parallel/train_step.py:make_multi_step): ``unroll`` full train steps
     scanned into one XLA program, so per-dispatch host latency is paid
@@ -45,15 +45,30 @@ def run_bench(batch_size: int = 32, frames: int = 16, image: int = 224,
                   **(model_kwargs or {}))
 
     rng = np.random.default_rng(0)
-    batch = {
-        "vid": jnp.asarray(rng.standard_normal(
-            (batch_size, frames, image, image, 3), dtype=np.float32),
-            jnp.bfloat16),
-        "label": jnp.asarray(
-            (rng.random((batch_size, 19)) < 0.3).astype(np.float32)),
-    }
-
-    variables = model.init(jax.random.PRNGKey(0), batch["vid"])
+    if tokens:
+        # pre-patchified wire: the native loader emits (B,T,N,p*p*c) at
+        # decode time (models/vivit.py patchify layout), so the step
+        # replaces the conv patch embed with one clean K=768 matmul
+        p = 16
+        n = (image // p) ** 2
+        batch = {
+            "vid_tokens": jnp.asarray(rng.standard_normal(
+                (batch_size, frames, n, p * p * 3), dtype=np.float32),
+                jnp.bfloat16),
+            "label": jnp.asarray(
+                (rng.random((batch_size, 19)) < 0.3).astype(np.float32)),
+        }
+        variables = model.init(jax.random.PRNGKey(0), batch["vid_tokens"],
+                               tokens_in=True)
+    else:
+        batch = {
+            "vid": jnp.asarray(rng.standard_normal(
+                (batch_size, frames, image, image, 3), dtype=np.float32),
+                jnp.bfloat16),
+            "label": jnp.asarray(
+                (rng.random((batch_size, 19)) < 0.3).astype(np.float32)),
+        }
+        variables = model.init(jax.random.PRNGKey(0), batch["vid"])
     tx = build_optimizer(cfg)
     state = TrainState.create(variables["params"], tx)
     step_rng = jax.random.PRNGKey(1)
@@ -254,6 +269,22 @@ def bench_vivit_dropout_train(batch_size: int = 32) -> dict:
             "value": r["value"], "unit": "clips/sec/chip",
             "note": "north-star config with dropout 0.1 on the fused "
                     "in-kernel path"}
+
+
+def bench_vivit_tokens_train(batch_size: int = 32) -> dict:
+    """North-star config on the pre-patchified token wire
+    (wire_format="u8_tokens"): the native loader emits (B,T,196,768)
+    ViT tokens at decode time, so the step's conv patch embed — ~2 ms
+    of relayout the on-device formulations could never remove
+    (NOTES_NEXT_ROUND.md patch-embed analysis) — becomes one clean
+    K=768 matmul.  Same math as the pixel path
+    (tests/test_models.py:test_vivit_tokens_in_matches_pixels_in)."""
+    r = run_bench(batch_size=batch_size, iters=10, tokens=True)
+    return {"name": "vivit_tokens_train",
+            "value": r["value"], "unit": "clips/sec/chip",
+            "detail": {"step_ms": r["detail"]["step_ms"]},
+            "note": "north-star config fed pre-patchified tokens (the "
+                    "native loader's u8_tokens wire layout)"}
 
 
 def bench_distillation_train(batch_size: int = 2) -> dict:
@@ -508,7 +539,8 @@ def run_all() -> list[dict]:
     results = []
     for fn in (bench_single_clip_cpu_fwd, bench_pyramid_inference,
                bench_two_modality_fusion, bench_dropout_train,
-               bench_vivit_dropout_train, bench_distillation_train,
+               bench_vivit_dropout_train, bench_vivit_tokens_train,
+               bench_distillation_train,
                bench_distillation_train_b8,
                bench_e2e_pipeline, bench_pipeline_architecture,
                bench_p50_preprocess_to_logits):

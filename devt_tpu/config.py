@@ -157,7 +157,13 @@ class Config(Mapping[str, Any]):
     wire_format: str = "f32"           # "f32" | "u8": pixel batches cross the
                                        # host→device link as uint8 (4x fewer
                                        # bytes) and are normalized on device
-                                       # (data/device_norm.py)
+                                       # (data/device_norm.py).  "u8_tokens"
+                                       # (vivit): the native loader emits
+                                       # pre-patchified ViT tokens at decode
+                                       # time (native/devt_host.cpp:
+                                       # devt_load_batch_u8_patches), so the
+                                       # device step skips the conv patch
+                                       # embed for one clean matmul
 
     # ------------------------------------------------------------------
     def __post_init__(self) -> None:
@@ -167,7 +173,7 @@ class Config(Mapping[str, Any]):
             raise ValueError(f"unknown precision {self.precision!r}")
         if self.attention_impl not in ("auto", "pallas", "xla"):
             raise ValueError(f"unknown attention impl {self.attention_impl!r}")
-        if self.wire_format not in ("f32", "u8"):
+        if self.wire_format not in ("f32", "u8", "u8_tokens"):
             raise ValueError(f"unknown wire format {self.wire_format!r}")
         if self.dp_mode not in ("auto", "gspmd"):
             raise ValueError(f"unknown dp_mode {self.dp_mode!r}")

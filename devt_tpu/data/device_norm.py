@@ -41,11 +41,21 @@ def dequantize(x, mean: np.ndarray, std: np.ndarray, dtype=jnp.bfloat16):
 
 
 def maybe_dequantize_batch(batch: dict, dtype=jnp.bfloat16) -> dict:
-    """Return ``batch`` with any uint8 ``vid``/``img`` leaves normalized
-    on device; float leaves pass through untouched."""
+    """Return ``batch`` with any uint8 ``vid``/``img``/``vid_tokens``
+    leaves normalized on device; float leaves pass through untouched.
+
+    ``vid_tokens`` is the pre-patchified layout (..., N, p*p*c) with c
+    fastest (models/vivit.py patchify): the per-channel constants tile to
+    a per-lane (p*p*c,) vector — still one fused multiply-add."""
     out = dict(batch)
     for key, (mean, std) in _NORM_BY_KEY.items():
         v = out.get(key)
         if v is not None and v.dtype == jnp.uint8:
             out[key] = dequantize(v, mean, std, dtype=dtype)
+    tok = out.get("vid_tokens")
+    if tok is not None and tok.dtype == jnp.uint8:
+        mean, std = _NORM_BY_KEY["vid"]
+        reps = tok.shape[-1] // mean.shape[-1]
+        out["vid_tokens"] = dequantize(tok, np.tile(mean, reps),
+                                       np.tile(std, reps), dtype=dtype)
     return out

@@ -65,19 +65,46 @@ class PatchEmbed(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
-        """(BT, H, W, C) → (BT, H/p, W/p, dim)."""
+    def __call__(self, x, tokens: bool = False):
+        """(BT, H, W, C) → (BT, H/p, W/p, dim); or with ``tokens=True``
+        pre-patchified input (..., N, p*p*c) → (..., N, dim).
+
+        The tokens path is one clean (K = p*p*c) dot — none of the
+        lane-split relayouts that doomed the on-device im2col variants
+        (see the conv note below), because the (p1, p2, c) permutation
+        already happened upstream (ideally at decode time in the native
+        loader, where it is free)."""
         p, c = self.patch_size, self.in_channels
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(),
             (p * p * c, self.dim))
         bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+        if tokens:
+            return (jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype),
+                            preferred_element_type=self.dtype)
+                    + bias.astype(self.dtype))
         k = kernel.reshape(p, p, c, self.dim).astype(self.dtype)
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype), k, window_strides=(p, p), padding="VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=self.dtype)
         return y + bias.astype(self.dtype)
+
+
+def patchify(x, patch_size: int):
+    """(B, T, H, W, C) channels-last pixels → (B, T, N, p*p*c) tokens.
+
+    Patch feature order is (p1, p2, c) — the reference's
+    ``Rearrange('b t c (h p1) (w p2) -> b t (h w) (p1 p2 c)')``
+    (vit.py:89-91) and the layout ``PatchEmbed.kernel`` expects.  This is
+    the device-side reference implementation; the native loader emits the
+    same layout for free at decode time (the permutation is just an index
+    map over bytes it is already writing)."""
+    b, t, h, w, c = x.shape
+    p = patch_size
+    x = x.reshape(b, t, h // p, p, w // p, p, c)
+    x = x.transpose(0, 1, 2, 4, 3, 5, 6)
+    return x.reshape(b, t, (h // p) * (w // p), p * p * c)
 
 
 class ViViT(nn.Module):
@@ -145,14 +172,25 @@ class ViViT(nn.Module):
                                       name="head_norm")
         self.head = nn.Dense(self.num_classes, dtype=self.dtype, name="head")
 
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True,
+                 tokens_in: bool = False):
         """x: (B, T, C, H, W) — or (B, T, H, W, C) with ``channels_last``
-        — video clip → (B, num_classes) logits."""
-        if not self.channels_last:
-            x = x.transpose(0, 1, 3, 4, 2)            # → (B, T, H, W, C)
-        b, t = x.shape[:2]
-        x = self.patch_embed(x.reshape((b * t,) + x.shape[2:]))
-        x = x.reshape(b, t, -1, self.dim)
+        — video clip → (B, num_classes) logits.
+
+        ``tokens_in=True``: x is pre-patchified (B, T, N, p*p*c) tokens
+        (``patchify`` layout; the native loader emits it at decode time).
+        Skips the conv patch embed for one clean K=p*p*c matmul — the
+        host-side patchify removes ~2 ms of conv relayout from the
+        224² train step."""
+        if tokens_in:
+            b, t = x.shape[:2]
+            x = self.patch_embed(x, tokens=True)
+        else:
+            if not self.channels_last:
+                x = x.transpose(0, 1, 3, 4, 2)        # → (B, T, H, W, C)
+            b, t = x.shape[:2]
+            x = self.patch_embed(x.reshape((b * t,) + x.shape[2:]))
+            x = x.reshape(b, t, -1, self.dim)
         n, d = x.shape[2], x.shape[3]
 
         cls_space = jnp.broadcast_to(self.space_token.astype(self.dtype),

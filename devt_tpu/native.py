@@ -66,6 +66,10 @@ def _load():
         ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
         ctypes.c_int, u8p, i32p, ctypes.c_int]
     lib.devt_load_batch_u8.restype = ctypes.c_int
+    lib.devt_load_batch_u8_patches.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, u8p, i32p, ctypes.c_int]
+    lib.devt_load_batch_u8_patches.restype = ctypes.c_int
     lib.devt_video_info.argtypes = [ctypes.c_char_p, i32p, i32p, i32p]
     lib.devt_video_info.restype = ctypes.c_int
     lib.devt_video_decode_rgb8.argtypes = [
@@ -168,6 +172,35 @@ def load_batch_u8(paths: Sequence[str], resize: int, crop: int,
                                ctypes.POINTER(ctypes.c_uint8)),
                            status.ctypes.data_as(
                                ctypes.POINTER(ctypes.c_int)), nthreads)
+    return out, status
+
+
+def load_batch_u8_patches(paths: Sequence[str], resize: int, crop: int,
+                          patch: int, nthreads: int | None = None
+                          ) -> tuple[np.ndarray, np.ndarray]:
+    """Threaded batch load, pre-patchified u8 wire →
+    ((N, (crop/patch)**2, patch*patch*3) u8 tokens, (N,) status int32).
+
+    Byte-identical pixels to :func:`load_batch_u8`, emitted in the ViT
+    token layout (``models/vivit.py patchify`` order: p1, p2, c) so the
+    device step replaces the conv patch embed with one clean matmul.
+    The permutation is free at decode time; failed decodes zero-fill and
+    report nonzero status (callers mean-fill like the pixel wire)."""
+    if nthreads is None:
+        nthreads = min(8, os.cpu_count() or 1)
+    lib = _load()
+    assert lib is not None, "native library unavailable"
+    assert crop % patch == 0, (crop, patch)
+    n = len(paths)
+    g = crop // patch
+    out = np.zeros((n, g * g, patch * patch * 3), np.uint8)
+    status = np.zeros((n,), np.int32)
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    rc = lib.devt_load_batch_u8_patches(
+        c_paths, n, resize, crop, patch,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), nthreads)
+    assert rc == 0, f"devt_load_batch_u8_patches rc={rc}"
     return out, status
 
 

@@ -113,6 +113,13 @@ def example_batch(config: Config, batch_size: int | None = None) -> dict[str, An
                                            dtype=np.float32),
                 "label": multi_hot()}
     if name == "vivit":
+        if config.wire_format == "u8_tokens":
+            # the native loader's pre-patchified token wire
+            # (native.load_batch_u8_patches): uint8 (B, T, N, p*p*c),
+            # normalized on device by data/device_norm.py
+            return {"vid_tokens": rng.integers(
+                        0, 256, (b, f, 196, 768), dtype=np.uint8),
+                    "label": multi_hot()}
         return {"vid": rng.standard_normal((b, f, 3, 224, 224),
                                            dtype=np.float32),
                 "label": multi_hot()}

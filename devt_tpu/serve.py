@@ -58,7 +58,13 @@ class Predictor:
             if name in ("ptn", "ptn_shared"):
                 out = model.apply(variables, batch["experts"])
             elif name == "vivit":
-                out = model.apply(variables, batch["vid"])
+                # accepts either raw clips ("vid") or the native loader's
+                # pre-patchified token wire ("vid_tokens", u8 or float)
+                if "vid_tokens" in batch:
+                    out = model.apply(variables, batch["vid_tokens"],
+                                      tokens_in=True)
+                else:
+                    out = model.apply(variables, batch["vid"])
             elif name == "tpn":
                 return model.apply(variables, batch["img"])  # already probs
             elif name == "lstm":

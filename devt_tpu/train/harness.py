@@ -89,6 +89,8 @@ class Trainer:
         if name in FT:
             return {"img": batch.get("img"), "vid": batch.get("vid")}
         if name == "vivit":
+            if "vid_tokens" in batch:
+                return {"x": batch["vid_tokens"], "tokens_in": True}
             return {"x": batch["vid"]}
         if name == "tpn":
             return {"x": batch["img"]}

@@ -104,7 +104,14 @@ def forward_and_loss(model, config: Config, variables, batch, rng,
         return loss, aux, mut
 
     if name == "vivit":
-        logits, mut = apply(batch["vid"], deterministic=not train)
+        # "vid_tokens": pre-patchified (B, T, N, p*p*c) clips — the
+        # layout the native loader emits at decode time (models/vivit.py
+        # patchify); skips the conv patch embed for one clean matmul.
+        if "vid_tokens" in batch:
+            logits, mut = apply(batch["vid_tokens"],
+                                deterministic=not train, tokens_in=True)
+        else:
+            logits, mut = apply(batch["vid"], deterministic=not train)
         if label.ndim == 1:    # single-label (MIT-style)
             loss = losses.cross_entropy(logits, label)
             probs = jax.nn.softmax(logits, axis=-1)

@@ -413,6 +413,53 @@ int devt_load_batch_u8(const char** paths, int n, int resize, int crop,
   return 0;
 }
 
+// Pre-patchified u8 wire: each image is emitted as (N_patches, p*p*3)
+// ViT tokens instead of (crop, crop, 3) pixels — token feature order is
+// (p1, p2, c) with c fastest, the layout the ViViT patch embed consumes
+// (models/vivit.py patchify; the reference's einops Rearrange,
+// src/models/vit.py:89-91).  The permutation is row-segment memcpys over
+// bytes the loader is writing anyway — free at decode time — and it
+// removes the device-side patchify relayout (~2 ms of a 19 ms 224**2
+// ViViT train step) from the critical path.  Same bytes, same count:
+// transfer cost is unchanged.
+int devt_load_batch_u8_patches(const char** paths, int n, int resize,
+                               int crop, int patch, uint8_t* out,
+                               int* status, int nthreads) {
+  if (patch <= 0 || crop % patch != 0) return -3;
+  const int g = crop / patch;                 // patches per side
+  const size_t tok_bytes = size_t(patch) * patch * 3;
+  const size_t stride = size_t(g) * g * tok_bytes;
+  std::atomic<int> next(0);
+  auto worker = [&]() {
+    std::vector<uint8_t> pix(size_t(crop) * crop * 3);
+    for (int i = next.fetch_add(1); i < n; i = next.fetch_add(1)) {
+      uint8_t* dst = out + size_t(i) * stride;
+      int rc = load_image_u8_impl(paths[i], resize, crop, pix.data());
+      if (rc != 0) {
+        std::memset(dst, 0, stride);
+      } else {
+        for (int gh = 0; gh < g; ++gh)
+          for (int gw = 0; gw < g; ++gw) {
+            uint8_t* tok = dst + (size_t(gh) * g + gw) * tok_bytes;
+            for (int p1 = 0; p1 < patch; ++p1) {
+              const uint8_t* srow = pix.data() +
+                  (size_t(gh * patch + p1) * crop + size_t(gw) * patch) * 3;
+              std::memcpy(tok + size_t(p1) * patch * 3, srow,
+                          size_t(patch) * 3);
+            }
+          }
+      }
+      if (status) status[i] = rc;
+    }
+  };
+  int nt = std::max(1, std::min(nthreads, n));
+  std::vector<std::thread> threads;
+  threads.reserve(nt);
+  for (int t = 0; t < nt; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+  return 0;
+}
+
 // Raw decode (RGB8) for callers that augment before normalize.
 int devt_decode_image(const char* path, uint8_t* out, int max_bytes, int* w,
                       int* h) {

@@ -34,6 +34,41 @@ def test_vivit_forward_shapes():
     assert 3e6 < n_params < 6e6
 
 
+def test_vivit_tokens_in_matches_pixels_in():
+    """The pre-patchified tokens path (native-loader layout) produces the
+    same logits as the pixel path through the SAME parameters: patchify →
+    dot == conv patch embed.  Token layout is the reference's
+    ``(p1 p2 c)`` Rearrange order (vit.py:89-91)."""
+    from devt_tpu.models.vivit import patchify
+
+    model = ViViT(image_size=32, patch_size=16, num_classes=7, num_frames=2,
+                  dim=32, depth=1, heads=2, dim_head=16, channels_last=True,
+                  attention_impl="xla")
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 2, 32, 32, 3), dtype=np.float32))
+    params = model.init(RNGS, x)["params"]
+    out_pix = model.apply({"params": params}, x)
+    out_tok = model.apply({"params": params}, patchify(x, 16), tokens_in=True)
+    np.testing.assert_allclose(np.asarray(out_tok), np.asarray(out_pix),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_patchify_matches_reference_rearrange():
+    """patchify == einops Rearrange('b t c (h p1) (w p2) -> b t (h w)
+    (p1 p2 c)') on channels-first input (vit.py:89-91)."""
+    from einops import rearrange
+
+    from devt_tpu.models.vivit import patchify
+
+    rng = np.random.default_rng(1)
+    x_cf = rng.standard_normal((2, 3, 3, 8, 8)).astype(np.float32)  # b t c h w
+    want = rearrange(torch.from_numpy(x_cf),
+                     "b t c (h p1) (w p2) -> b t (h w) (p1 p2 c)",
+                     p1=4, p2=4).numpy()
+    got = patchify(jnp.asarray(x_cf.transpose(0, 1, 3, 4, 2)), 4)
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
 def test_ptn_shapes_and_expert_structure():
     model = PTN(input_dimension=128, nhead=4, nhid=128, nlayers=2,
                 num_experts=3, seq_len=5, n_classes=15, dropout=0.0,

@@ -73,6 +73,35 @@ def test_u8_wire_matches_f32_path(image_files):
     np.testing.assert_allclose(got[:3], f32[:3], atol=1e-5)
 
 
+def test_u8_patches_wire_matches_device_patchify(image_files):
+    """The pre-patchified u8 wire is a pure byte permutation: tokens ==
+    patchify(pixels) bit-exactly, failed decodes zero-fill with nonzero
+    status, and device_norm's per-lane constants reproduce the pixel-wire
+    normalization."""
+    import jax.numpy as jnp
+
+    from devt_tpu.data.device_norm import maybe_dequantize_batch
+    from devt_tpu.models.vivit import patchify
+
+    paths = image_files + ["/nonexistent/file.jpg"]
+    pix, st_p = native.load_batch_u8(paths, 120, 112)
+    tok, st_t = native.load_batch_u8_patches(paths, 120, 112, patch=16)
+    assert tok.dtype == np.uint8 and tok.shape == (4, 49, 768)
+    assert st_t.tolist() == st_p.tolist()
+    want = np.asarray(patchify(jnp.asarray(pix[None]), 16))[0]
+    np.testing.assert_array_equal(tok, want)
+    assert np.all(tok[3] == 0)
+
+    # per-lane device norm == per-channel norm of the same bytes
+    mean, std = transforms.KINETICS_MEAN, transforms.KINETICS_STD
+    out = maybe_dequantize_batch(
+        {"vid_tokens": jnp.asarray(tok[None])}, dtype=jnp.float32)
+    ref = (pix[None].astype(np.float32) / 255.0 - mean) / std
+    np.testing.assert_allclose(np.asarray(out["vid_tokens"]),
+                               np.asarray(patchify(jnp.asarray(ref), 16)),
+                               atol=1e-5)
+
+
 def test_maybe_dequantize_batch_keys():
     import jax.numpy as jnp
 

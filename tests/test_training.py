@@ -548,3 +548,57 @@ def test_best_metric_checkpointing(tmp_path):
     trainer2._saver = ckpt.AsyncSaver()
     trainer2._maybe_save_best({"val/accuracy/epoch": 1.0}, state, step=5)
     trainer2._saver.close()
+
+
+def test_vivit_u8_tokens_wire_train_step():
+    """wire_format="u8_tokens" at the step level: a uint8 token batch
+    (the native loader's pre-patchified layout) flows through
+    forward_and_loss / make_train_step with loss identical to the SAME
+    bytes shipped as the u8 pixel wire — device_norm's per-lane
+    constants + the tokens-in patch embed reproduce the pixel path
+    exactly."""
+    from devt_tpu.models.vivit import ViViT, patchify
+
+    cfg = Config(model="vivit", batch_size=2, n_classes=7, precision="f32",
+                 opt="adamW", learning_rate=1e-3, dropout=0.0,
+                 wire_format="u8_tokens")
+    model = ViViT(image_size=32, patch_size=16, num_classes=7, num_frames=2,
+                  dim=32, depth=1, heads=2, dim_head=16, channels_last=True,
+                  attention_impl="xla", dropout=0.0)
+    rng = np.random.default_rng(7)
+    pix_u8 = rng.integers(0, 256, (2, 2, 32, 32, 3), dtype=np.uint8)
+    label = (rng.random((2, 7)) < 0.3).astype(np.float32)
+    tok_u8 = np.asarray(patchify(jnp.asarray(pix_u8), 16))  # pure permute
+    assert tok_u8.dtype == np.uint8 and tok_u8.shape == (2, 2, 4, 768)
+
+    variables = model.init(RNGS, jnp.zeros((2, 2, 32, 32, 3), jnp.float32))
+
+    def fresh():
+        params = jax.tree_util.tree_map(jnp.array, variables["params"])
+        return TrainState.create(params, build_optimizer(cfg))
+
+    step = make_train_step(model, cfg)
+    _, m_pix = step(fresh(), {"vid": pix_u8, "label": label},
+                    jax.random.PRNGKey(0))
+    _, m_tok = step(fresh(), {"vid_tokens": tok_u8, "label": label},
+                    jax.random.PRNGKey(0))
+    np.testing.assert_allclose(float(m_tok["loss"]), float(m_pix["loss"]),
+                               rtol=1e-6)
+
+
+def test_u8_tokens_wire_harness_and_registry():
+    """The harness init path and the synthetic datamodule speak the token
+    wire: example_batch emits uint8 (B,T,196,768) ``vid_tokens`` under
+    wire_format="u8_tokens" and Trainer._apply_kwargs maps it to the
+    model's tokens-in signature."""
+    from devt_tpu.registry import example_batch
+    from devt_tpu.train.harness import Trainer
+
+    cfg = Config(model="vivit", batch_size=2, frame_len=2, n_classes=7,
+                 wire_format="u8_tokens")
+    batch = example_batch(cfg)
+    assert batch["vid_tokens"].dtype == np.uint8
+    assert batch["vid_tokens"].shape == (2, 2, 196, 768)
+    kwargs = Trainer(cfg)._apply_kwargs(batch)
+    assert kwargs["tokens_in"] is True
+    assert kwargs["x"] is batch["vid_tokens"]
