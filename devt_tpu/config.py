@@ -175,6 +175,10 @@ class Config(Mapping[str, Any]):
             raise ValueError(f"unknown attention impl {self.attention_impl!r}")
         if self.wire_format not in ("f32", "u8", "u8_tokens"):
             raise ValueError(f"unknown wire format {self.wire_format!r}")
+        if self.wire_format == "u8_tokens" and self.model != "vivit":
+            raise ValueError(
+                "wire_format 'u8_tokens' is the pre-patchified ViT token "
+                "wire — only the vivit model consumes it")
         if self.dp_mode not in ("auto", "gspmd"):
             raise ValueError(f"unknown dp_mode {self.dp_mode!r}")
         if self.best_mode not in ("max", "min"):

@@ -170,6 +170,87 @@ class _FrameClipPacker:
                 img[slot] = transforms.val_image_transform(_pil_load(pick))
 
 
+class _WholeClipPacker:
+    """ViViT whole-clip samples from a frame corpus.
+
+    The reference never pairs ViViT with a dataloader (vit.py is
+    self-contained, :133-144); here the flagship model trains on the same
+    frame corpora as the FrameTransformer family: one ``frame_len``-frame
+    224² clip per trailer, frames drawn across its scenes in order
+    (random contiguous window at train, evenly spaced at val/test).
+
+    Wire formats (config.wire_format): ``"f32"`` normalized pixels,
+    ``"u8"`` raw pixels normalized on device, or ``"u8_tokens"`` —
+    pre-patchified ViT tokens the native loader emits at decode time
+    (native/devt_host.cpp:devt_load_batch_u8_patches), so the device
+    step skips the conv patch embed entirely.  Without the native
+    library both u8 wires fall back to f32 pixels via PIL."""
+
+    RESIZE, CROP, PATCH = 240, 224, 16
+
+    def __init__(self, config: Config, state: str):
+        self.config = config
+        self.state = state
+        self.frame_len = config.frame_len
+        from devt_tpu import native
+
+        self.native = native if native.available() else None
+        self.wire = (config.wire_format if self.native is not None
+                     else "f32")
+        self._u8_fill = np.round(
+            transforms.KINETICS_MEAN * 255.0).astype(np.uint8)
+
+    def _clip_paths(self, frame_paths: list[str],
+                    rng: random.Random) -> list[str]:
+        t, n = self.frame_len, len(frame_paths)
+        if self.state == "train" and n > t:
+            start = rng.randint(0, n - t)
+            return frame_paths[start:start + t]
+        # evenly spaced, deterministic (repeats frames when n < t)
+        return [frame_paths[min(k * n // t, n - 1)] for k in range(t)]
+
+    def sample(self, frame_paths: list[str], label: np.ndarray,
+               rng: random.Random) -> dict:
+        t, g = self.frame_len, self.CROP // self.PATCH
+        if not frame_paths:
+            if self.wire == "u8_tokens":
+                vid = np.broadcast_to(
+                    np.tile(self._u8_fill, self.PATCH * self.PATCH),
+                    (t, g * g, self.PATCH * self.PATCH * 3)).copy()
+                return {"vid_tokens": vid, "label": label}
+            if self.wire == "u8":
+                vid = np.broadcast_to(
+                    self._u8_fill, (t, self.CROP, self.CROP, 3)).copy()
+                return {"vid": vid, "label": label}
+            return {"vid": np.zeros((t, self.CROP, self.CROP, 3),
+                                    np.float32), "label": label}
+        paths = self._clip_paths(frame_paths, rng)
+        if self.wire == "u8_tokens":
+            tok, status = self.native.load_batch_u8_patches(
+                paths, self.RESIZE, self.CROP, self.PATCH)
+            if np.any(status):
+                tok[status != 0] = np.tile(
+                    self._u8_fill, self.PATCH * self.PATCH)
+            return {"vid_tokens": tok, "label": label}
+        if self.wire == "u8":
+            pix, status = self.native.load_batch_u8(
+                paths, self.RESIZE, self.CROP)
+            if np.any(status):
+                pix[status != 0] = self._u8_fill
+            return {"vid": pix, "label": label}
+        if self.native is not None:
+            pix, _ = self.native.load_batch_f32(
+                paths, self.RESIZE, self.CROP,
+                transforms.KINETICS_MEAN, transforms.KINETICS_STD)
+            return {"vid": pix, "label": label}
+        vid = np.stack([
+            transforms.clip_frame_transform(_pil_load(p), rng,
+                                            size=self.CROP,
+                                            resize=self.RESIZE)
+            for p in paths])
+        return {"vid": vid, "label": label}
+
+
 class MMXFrameDataset:
     """Pickle-manifest variant (MMX_Frame_dl.py:53-164)."""
 
@@ -177,7 +258,9 @@ class MMXFrameDataset:
         self.df = df
         self.config = config
         self.state = state
-        self.packer = _FrameClipPacker(config, state)
+        self.whole_clip = config.model == "vivit"
+        self.packer = (_WholeClipPacker(config, state) if self.whole_clip
+                       else _FrameClipPacker(config, state))
 
     def __len__(self) -> int:
         return len(self.df)
@@ -188,6 +271,18 @@ class MMXFrameDataset:
                                   if self.state == "train" else 0)))
         label = self.df.at[idx, "label"]
         scenes = self.df.at[idx, "scenes"]
+        if self.whole_clip:
+            frames = []
+            for scene in scenes.values():
+                for key in (0, "000", "0"):
+                    try:
+                        frames.extend(scene[key])
+                        break
+                    except (KeyError, TypeError, IndexError):
+                        continue
+            return self.packer.sample(
+                frames, np.asarray(collect_labels_19(label), np.float32),
+                rng)
         img, vid = self.packer.empty()
         slot = 0
         for scene in scenes.values():
@@ -216,7 +311,9 @@ class MMXLightDataset:
         self.df = df
         self.config = config
         self.state = state
-        self.packer = _FrameClipPacker(config, state)
+        self.whole_clip = config.model == "vivit"
+        self.packer = (_WholeClipPacker(config, state) if self.whole_clip
+                       else _FrameClipPacker(config, state))
 
     def __len__(self) -> int:
         return len(self.df)
@@ -229,6 +326,12 @@ class MMXLightDataset:
         labels = [row[f"g{i}"] for i in range(1, 6) if f"g{i}" in row]
         target = collect_labels_19([l for l in labels if isinstance(l, str)])
         scenes = sorted(glob.glob(os.path.join(str(row["img_root"]), "*")))
+        if self.whole_clip:
+            frames = []
+            for s in scenes:
+                frames.extend(sorted(glob.glob(os.path.join(s, "*.png")))
+                              or sorted(glob.glob(os.path.join(s, "*"))))
+            return self.packer.sample(frames, target, rng)
         img, vid = self.packer.empty()
         if scenes:
             frame_lists = [sorted(glob.glob(os.path.join(s, "*.png")))

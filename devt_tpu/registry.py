@@ -57,9 +57,13 @@ def build_model(config: Config) -> nn.Module:
                                 remat=config.remat, dtype=dtype)
 
     if name == "vivit":
+        # channels-last is the TPU-native layout and what the frame
+        # pipeline emits; the reference's (B,T,C,H,W) is still accepted
+        # by the model via channels_last=False at direct construction
         return ViViT(num_classes=config.n_classes,
                      num_frames=config.frame_len,
                      attention_impl=config.attention_impl,
+                     channels_last=True,
                      remat=config.remat, dtype=dtype)
 
     if name == "tpn":
@@ -120,7 +124,7 @@ def example_batch(config: Config, batch_size: int | None = None) -> dict[str, An
             return {"vid_tokens": rng.integers(
                         0, 256, (b, f, 196, 768), dtype=np.uint8),
                     "label": multi_hot()}
-        return {"vid": rng.standard_normal((b, f, 3, 224, 224),
+        return {"vid": rng.standard_normal((b, f, 224, 224, 3),
                                            dtype=np.float32),
                 "label": multi_hot()}
     if name == "tpn":

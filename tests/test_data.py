@@ -357,3 +357,59 @@ def test_u8_wire_padding_matches_f32_normalized_zeros():
     packer.pack_scene(img, vid, 0, ["/nonexistent/frame.png"] * 3,
                       _random.Random(0), cycle=False)
     assert np.all(vid[0, 0, 0, 0] == np.round(T.KINETICS_MEAN * 255))
+
+
+def test_vivit_whole_clip_loader_wires(tmp_path):
+    """model="vivit" switches the frame datasets to whole-clip samples:
+    one frame_len×224² clip per trailer drawn across its scenes.  The
+    three wire formats agree — at val the sampling is deterministic, so
+    the u8 token wire is exactly ``patchify`` of the u8 pixel wire and
+    the f32 wire is the normalized pixels."""
+    from devt_tpu import native
+    from devt_tpu.data.mmx_frame import MMXLightDataset
+
+    if not native.available():
+        pytest.skip("native library not built")
+    import jax.numpy as jnp
+
+    from devt_tpu.data import manifests
+    from devt_tpu.models.vivit import patchify
+
+    csv_path = synthetic.write_fake_light_csv(str(tmp_path), n_movies=2,
+                                              scenes_per_movie=2,
+                                              frames_per_scene=4, size=96)
+    df, _ = manifests.load_csv_manifest(csv_path, shuffle_seed=0,
+                                        train_rows=2, val_rows=0)
+
+    def sample(wire):
+        cfg = Config(model="vivit", frame_len=4, n_classes=19,
+                     wire_format=wire)
+        return MMXLightDataset(df, cfg, "val")[0]
+
+    pix = sample("u8")
+    assert pix["vid"].dtype == np.uint8
+    assert pix["vid"].shape == (4, 224, 224, 3)
+    tok = sample("u8_tokens")
+    assert tok["vid_tokens"].dtype == np.uint8
+    assert tok["vid_tokens"].shape == (4, 196, 768)
+    np.testing.assert_array_equal(
+        tok["vid_tokens"],
+        np.asarray(patchify(jnp.asarray(pix["vid"][None]), 16))[0])
+    f32 = sample("f32")
+    np.testing.assert_allclose(
+        f32["vid"],
+        (pix["vid"].astype(np.float32) / 255.0 - transforms.KINETICS_MEAN)
+        / transforms.KINETICS_STD, atol=1e-5)
+    np.testing.assert_array_equal(pix["label"], tok["label"])
+
+    # train sampling is a contiguous window; empty corpora mean-fill
+    cfg = Config(model="vivit", frame_len=4, n_classes=19,
+                 wire_format="u8_tokens")
+    train = MMXLightDataset(df, cfg, "train")[0]
+    assert train["vid_tokens"].shape == (4, 196, 768)
+    from devt_tpu.data.mmx_frame import _WholeClipPacker
+    packer = _WholeClipPacker(cfg, "val")
+    empty = packer.sample([], np.zeros(19, np.float32), random.Random(0))
+    dq = (empty["vid_tokens"][0, 0].reshape(256, 3).astype(np.float32)
+          / 255.0 - transforms.KINETICS_MEAN) / transforms.KINETICS_STD
+    assert np.abs(dq).max() < 0.01     # ≈0 in normalized space

@@ -66,3 +66,37 @@ def test_distributed_initialize_single_host_noop():
     info = runtime_info()
     assert info["process_count"] == 1
     assert info["global_devices"] == 8   # virtual CPU mesh
+
+
+def test_vivit_token_wire_end_to_end(tmp_path, monkeypatch):
+    """The flagship ViViT trains on a real PNG corpus over the
+    pre-patchified token wire: native decode → u8 (T,196,768) tokens →
+    Loader → Trainer.fit → test.  The conv patch embed never runs — the
+    model consumes the native loader's layout directly."""
+    from devt_tpu import native
+    from devt_tpu.models.vivit import ViViT
+
+    if not native.available():
+        pytest.skip("native library not built")
+    monkeypatch.chdir(tmp_path)
+    csv_path = synthetic.write_fake_light_csv(str(tmp_path), n_movies=4,
+                                              scenes_per_movie=2,
+                                              frames_per_scene=4, size=96)
+    cfg = Config(model="vivit", data_set="mmx-frame", batch_size=1,
+                 frame_len=4, n_classes=19, epochs=1, max_steps=2,
+                 precision="f32", attention_impl="xla", dropout=0.0,
+                 opt="adamW", learning_rate=1e-4, log_every=1,
+                 wire_format="u8_tokens",
+                 checkpoint_dir=str(tmp_path / "ckpt"))
+    model = ViViT(image_size=224, patch_size=16, num_classes=19,
+                  num_frames=4, dim=32, depth=1, heads=2, dim_head=16,
+                  channels_last=True, attention_impl="xla", dropout=0.0)
+
+    dm = _TinyLightModule(csv_path, cfg)
+    logger = JsonlLogger(log_dir=str(tmp_path / "runs"), name="e2e_tok")
+    trainer = Trainer(cfg, callbacks=[TransformerEval()], logger=logger)
+    state = trainer.fit(model, dm)
+    assert int(state.step) == 2
+
+    results = trainer.test(model, dm, state=state)
+    assert "test/loss" in results and np.isfinite(results["test/loss"])
