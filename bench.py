@@ -443,12 +443,11 @@ def bench_pipeline_architecture(tmp_root: str = "/tmp/devt_bench_corpus"
             import random as _r
 
             r = _r.Random(i)
-            vid = pool[i]
             # the u8 train-time augment the real packer applies per scene
-            vid = np.stack([
-                np.stack([T.random_erasing_u8(vid[s, f], r)
-                          for f in range(cfg.frame_len)])
-                for s in range(cfg.seq_len)])
+            # (vectorized clip-level erasing, as pack_scene now does)
+            vid = pool[i].copy()
+            s, f, h, w, c = vid.shape
+            T.random_erasing_clip_u8(vid.reshape(s * f, h, w, c), r)
             return {"vid": vid, "label": labels[i]}
 
     loader = Loader(RamDataset(), cfg.batch_size, shuffle=True,

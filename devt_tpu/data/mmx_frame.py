@@ -136,17 +136,14 @@ class _FrameClipPacker:
                     # matching the f32 wire's zero-fill fault tolerance
                     frames[status != 0] = self._u8_fill
                 if erase:
-                    for k in range(self.frame_len):
-                        frames[k] = transforms.random_erasing_u8(
-                            frames[k], rng)
+                    transforms.random_erasing_clip_u8(frames, rng)
                 vid[slot] = frames
             elif self.native is not None:
                 frames, _ = self.native.load_batch_f32(
                     [frame_paths[fi] for fi in idxs], 120, 112,
                     transforms.KINETICS_MEAN, transforms.KINETICS_STD)
                 if erase:
-                    for k in range(self.frame_len):
-                        frames[k] = transforms.random_erasing(frames[k], rng)
+                    transforms.random_erasing_clip(frames, rng)
                 vid[slot] = frames
             else:
                 for k, fi in enumerate(idxs):

@@ -283,6 +283,59 @@ def random_erasing_u8(arr: np.ndarray, rng: random.Random,
     return arr
 
 
+def _erase_boxes(n: int, h: int, w: int, g: np.random.Generator,
+                 scale, ratio):
+    """Vectorized torchvision box draws: ``n`` frames × ≤10 attempts each
+    (the same accept-reject geometry as :func:`_erase_box`, batched)."""
+    target = (h * w) * g.uniform(scale[0], scale[1], (n, 10))
+    aspect = np.exp(g.uniform(np.log(ratio[0]), np.log(ratio[1]), (n, 10)))
+    eh = np.rint(np.sqrt(target * aspect)).astype(np.int64)
+    ew = np.rint(np.sqrt(target / aspect)).astype(np.int64)
+    valid = (eh < h) & (ew < w)
+    first = valid.argmax(axis=1)
+    idx = np.arange(n)
+    eh, ew = eh[idx, first], ew[idx, first]
+    top = (g.random(n) * (h - eh + 1)).astype(np.int64)
+    left = (g.random(n) * (w - ew + 1)).astype(np.int64)
+    return valid.any(axis=1), top, left, eh, ew
+
+
+def random_erasing_clip_u8(clip: np.ndarray, rng: random.Random,
+                           mean=None, p: float = 0.5,
+                           scale=(0.02, 0.33), ratio=(0.3, 3.3)
+                           ) -> np.ndarray:
+    """Vectorized :func:`random_erasing_u8` over a whole (F, H, W, C) u8
+    clip, IN PLACE: one numpy draw for every frame's coin flip and box
+    geometry, then ~F·p cheap view fills.  Replaces F python-loop calls —
+    the dominant host cost of the u8 augment path (the round-3 pipeline
+    bench measured ~4.8 ms/sample in the per-frame loop).  Distribution
+    matches the per-frame function; sequences differ (own numpy stream
+    seeded from ``rng``)."""
+    f, h, w, _ = clip.shape
+    g = np.random.default_rng(rng.randrange(2**63))
+    do = g.random(f) < p
+    ok, top, left, eh, ew = _erase_boxes(f, h, w, g, scale, ratio)
+    mean = KINETICS_MEAN if mean is None else np.asarray(mean, np.float32)
+    fill = np.round(mean * 255.0).astype(np.uint8)
+    for i in np.nonzero(do & ok)[0]:
+        clip[i, top[i]:top[i] + eh[i], left[i]:left[i] + ew[i]] = fill
+    return clip
+
+
+def random_erasing_clip(clip: np.ndarray, rng: random.Random,
+                        p: float = 0.5, scale=(0.02, 0.33),
+                        ratio=(0.3, 3.3)) -> np.ndarray:
+    """Vectorized :func:`random_erasing` (value=0 torchvision default)
+    over a whole (F, H, W, C) float clip, IN PLACE."""
+    f, h, w, _ = clip.shape
+    g = np.random.default_rng(rng.randrange(2**63))
+    do = g.random(f) < p
+    ok, top, left, eh, ew = _erase_boxes(f, h, w, g, scale, ratio)
+    for i in np.nonzero(do & ok)[0]:
+        clip[i, top[i]:top[i] + eh[i], left[i]:left[i] + ew[i]] = 0.0
+    return clip
+
+
 def clip_frame_transform(img: Image.Image, rng: random.Random | None = None,
                          train: bool = False, size: int = 112,
                          resize: int = 120, erase: bool = False

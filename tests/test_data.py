@@ -413,3 +413,37 @@ def test_vivit_whole_clip_loader_wires(tmp_path):
     dq = (empty["vid_tokens"][0, 0].reshape(256, 3).astype(np.float32)
           / 255.0 - transforms.KINETICS_MEAN) / transforms.KINETICS_STD
     assert np.abs(dq).max() < 0.01     # ≈0 in normalized space
+
+
+def test_random_erasing_clip_vectorized_variants():
+    """Clip-level vectorized erasing matches the per-frame functions
+    distributionally: ≈p of frames erased, erased pixels at the exact
+    fill value, untouched pixels preserved, in-place operation."""
+    import random as _random
+
+    from devt_tpu.data import transforms as T
+
+    f = 400
+    clip = np.full((f, 64, 64, 3), 200, np.uint8)
+    out = T.random_erasing_clip_u8(clip, _random.Random(0))
+    assert out is clip                                  # in place
+    fill = np.round(T.KINETICS_MEAN * 255.0).astype(np.uint8)
+    changed = (clip != 200).any(axis=-1)                # (f, h, w)
+    frac = changed.any(axis=(1, 2)).mean()
+    assert 0.4 < frac < 0.6                             # p = 0.5
+    for i in np.nonzero(changed.any(axis=(1, 2)))[0][:8]:
+        box = changed[i]
+        # erased region is a filled rectangle at the u8 fill value
+        rows, cols = np.nonzero(box)
+        assert box[rows.min():rows.max() + 1,
+                   cols.min():cols.max() + 1].all()
+        np.testing.assert_array_equal(
+            clip[i][box], np.broadcast_to(fill, clip[i][box].shape))
+        # area within the torchvision scale bounds (rounding slack)
+        assert 0.015 * 64 * 64 <= box.sum() <= 0.35 * 64 * 64
+
+    fclip = np.ones((f, 64, 64, 3), np.float32)
+    T.random_erasing_clip(fclip, _random.Random(1))
+    zeroed = (fclip == 0.0).all(axis=-1)
+    assert 0.4 < zeroed.any(axis=(1, 2)).mean() < 0.6
+    assert np.all(fclip[~zeroed] == 1.0)
