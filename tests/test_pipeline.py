@@ -1,0 +1,176 @@
+"""Pipeline parallelism (GPipe schedule over the ``pipe`` mesh axis) on
+the virtual 8-device CPU mesh: forward/grad parity vs the sequential
+stack, a real ViT-block stage, and a full pipelined train step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from devt_tpu.parallel.pipeline import (PIPE_AXIS, pipeline_apply,
+                                        pipelined_stack, stage_params)
+
+RNGS = {"params": jax.random.PRNGKey(0)}
+
+
+def _pipe_mesh(n=8):
+    devs = np.array(jax.devices()[:n])
+    return Mesh(devs, (PIPE_AXIS,))
+
+
+def _mlp_block(params, x):
+    """One residual MLP stage: x + tanh(x @ w + b) @ v."""
+    h = jnp.tanh(x @ params["w"] + params["b"])
+    return x + h @ params["v"]
+
+
+def _stacked_mlp_params(s, d, hidden, seed=0):
+    rng = np.random.default_rng(seed)
+    scale = 1.0 / np.sqrt(d)
+    return {
+        "w": jnp.asarray(rng.standard_normal((s, d, hidden)) * scale,
+                         jnp.float32),
+        "b": jnp.zeros((s, hidden), jnp.float32),
+        "v": jnp.asarray(rng.standard_normal((s, hidden, d)) * scale,
+                         jnp.float32),
+    }
+
+
+def _sequential(block_fn, stacked, x):
+    def body(h, i):
+        p = jax.tree_util.tree_map(lambda a: a[i], stacked)
+        return block_fn(p, h), None
+    s = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+    out, _ = jax.lax.scan(body, x, jnp.arange(s))
+    return out
+
+
+def test_pipeline_matches_sequential_forward():
+    mesh = _pipe_mesh()
+    s, d, hidden = 8, 16, 32
+    stacked = _stacked_mlp_params(s, d, hidden)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((12, 5, d)), jnp.float32)
+
+    got = jax.jit(lambda p, xx: pipelined_stack(
+        mesh, _mlp_block, p, xx, n_micro=4))(stacked, x)
+    want = _sequential(_mlp_block, stacked, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-6)
+
+    # microbatch count 1 and batch-sized microbatches also work
+    got1 = jax.jit(lambda p, xx: pipelined_stack(
+        mesh, _mlp_block, p, xx, n_micro=1))(stacked, x)
+    np.testing.assert_allclose(np.asarray(got1), np.asarray(want),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_pipeline_grad_parity():
+    """jax.grad through the shard_map pipeline: stage-sharded parameter
+    gradients and the input gradient both match the sequential stack —
+    the pipelined backward is the transpose of the forward schedule."""
+    mesh = _pipe_mesh()
+    s, d, hidden = 8, 8, 16
+    stacked = _stacked_mlp_params(s, d, hidden, seed=2)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((8, 3, d)), jnp.float32)
+    tgt = jnp.asarray(rng.standard_normal((8, 3, d)), jnp.float32)
+
+    def loss_pipe(p, xx):
+        out = pipelined_stack(mesh, _mlp_block, p, xx, n_micro=4)
+        return jnp.mean((out - tgt) ** 2)
+
+    def loss_seq(p, xx):
+        return jnp.mean((_sequential(_mlp_block, p, xx) - tgt) ** 2)
+
+    gp, gx = jax.jit(jax.grad(loss_pipe, argnums=(0, 1)))(stacked, x)
+    wp, wx = jax.jit(jax.grad(loss_seq, argnums=(0, 1)))(stacked, x)
+    for a, b in zip(jax.tree_util.tree_leaves(gp),
+                    jax.tree_util.tree_leaves(wp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(wx),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_pipeline_vit_block_stages():
+    """Real transformer stages: 8 pre-norm ViT blocks (xla attention tier
+    — per-stage shapes are concrete inside the shard_map body, so the
+    fused tier would also be eligible on TPU) pipelined over the mesh
+    match the sequential depth-8 encoder."""
+    from devt_tpu.models.layers import ViTBlock
+
+    mesh = _pipe_mesh()
+    block = ViTBlock(dim=16, heads=2, dim_head=8, mlp_dim=32,
+                     attention_impl="xla")
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((4, 6, 16)), jnp.float32)
+    keys = jax.random.split(jax.random.PRNGKey(0), 8)
+    stacked = jax.vmap(
+        lambda k: block.init({"params": k}, x[:1])["params"])(keys)
+
+    def block_fn(p, h):
+        return block.apply({"params": p}, h)
+
+    got = jax.jit(lambda p, xx: pipelined_stack(
+        mesh, block_fn, p, xx, n_micro=2))(stacked, x)
+    want = _sequential(block_fn, stacked, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=1e-5)
+
+
+def test_pipeline_train_step_updates_and_learns():
+    """A full pipelined train step: stage params live sharded over the
+    pipe axis (never gathered), grads come back stage-sharded through
+    jax.grad, and a plain SGD loop drives the loss down."""
+    mesh = _pipe_mesh()
+    s, d, hidden = 8, 8, 16
+    stacked = _stacked_mlp_params(s, d, hidden, seed=5)
+    spec = P(PIPE_AXIS)
+    sharding = jax.sharding.NamedSharding(mesh, spec)
+    stacked = jax.tree_util.tree_map(
+        lambda a: jax.device_put(a, sharding), stacked)
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal((8, 3, d)), jnp.float32)
+    tgt = jnp.asarray(rng.standard_normal((8, 3, d)), jnp.float32)
+
+    @jax.jit
+    def step(p, lr):
+        def loss_fn(pp):
+            out = pipelined_stack(mesh, _mlp_block, pp, x, n_micro=4)
+            return jnp.mean((out - tgt) ** 2)
+        loss, g = jax.value_and_grad(loss_fn)(p)
+        p = jax.tree_util.tree_map(lambda a, b: a - lr * b, p, g)
+        return p, loss
+
+    losses = []
+    for _ in range(12):
+        stacked, loss = step(stacked, jnp.float32(0.1))
+        losses.append(float(loss))
+    assert losses[-1] < 0.5 * losses[0]
+    # params stayed stage-sharded end to end
+    leaf = jax.tree_util.tree_leaves(stacked)[0]
+    assert leaf.sharding.spec == spec
+
+
+def test_pipeline_apply_inside_custom_shard_map():
+    """pipeline_apply composes manually: explicit shard_map with
+    stage_params, 4 stages on a 4-device sub-mesh."""
+    devs = np.array(jax.devices()[:4])
+    mesh = Mesh(devs, (PIPE_AXIS,))
+    s, d, hidden = 4, 8, 8
+    stacked = _stacked_mlp_params(s, d, hidden, seed=7)
+    rng = np.random.default_rng(8)
+    xm = jnp.asarray(rng.standard_normal((3, 2, 5, d)), jnp.float32)
+
+    def body(p_local, xm_rep):
+        return pipeline_apply(_mlp_block, stage_params(p_local), xm_rep,
+                              n_stages=4)
+
+    out = jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(P(PIPE_AXIS), P()), out_specs=P()))(
+            stacked, xm)
+    want = _sequential(_mlp_block, stacked,
+                       xm.reshape(6, 5, d)).reshape(3, 2, 5, d)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               rtol=2e-5, atol=2e-6)
