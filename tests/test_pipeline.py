@@ -174,3 +174,46 @@ def test_pipeline_apply_inside_custom_shard_map():
                        xm.reshape(6, 5, d)).reshape(3, 2, 5, d)
     np.testing.assert_allclose(np.asarray(out), np.asarray(want),
                                rtol=2e-5, atol=2e-6)
+
+
+def test_pipeline_composes_with_data_parallel():
+    """(data=2, pipe=4) mesh: shard_map DP outside, the GPipe schedule
+    inside — each data replica pipelines its own batch shard through the
+    4 stages; grads pmean over data and stay stage-sharded over pipe.
+    Loss and parameter gradients match the global-batch sequential
+    stack."""
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("data", PIPE_AXIS))
+    s, d, hidden = 4, 8, 16
+    stacked = _stacked_mlp_params(s, d, hidden, seed=9)
+    rng = np.random.default_rng(10)
+    x = jnp.asarray(rng.standard_normal((8, 3, d)), jnp.float32)
+    tgt = jnp.asarray(rng.standard_normal((8, 3, d)), jnp.float32)
+
+    def replica_loss(p_local, xs, ts):
+        # per-replica: pipeline the local batch shard through all stages
+        xm = xs.reshape((2, xs.shape[0] // 2) + xs.shape[1:])
+        out = pipeline_apply(_mlp_block, stage_params(p_local), xm,
+                             n_stages=4)
+        loss = jnp.mean((out.reshape(xs.shape) - ts) ** 2)
+        return jax.lax.pmean(loss, "data")
+
+    def global_loss(p, xx, tt):
+        f = jax.shard_map(replica_loss, mesh=mesh,
+                          in_specs=(P(None, PIPE_AXIS), P("data"),
+                                    P("data")),
+                          out_specs=P())
+        return f(jax.tree_util.tree_map(lambda a: a[None], p), xx, tt)
+
+    loss, grads = jax.jit(jax.value_and_grad(global_loss))(stacked, x, tgt)
+
+    def seq_loss(p, xx, tt):
+        return jnp.mean((_sequential(_mlp_block, p, xx) - tt) ** 2)
+
+    want_loss, want_grads = jax.jit(
+        jax.value_and_grad(seq_loss))(stacked, x, tgt)
+    np.testing.assert_allclose(float(loss), float(want_loss), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(grads),
+                    jax.tree_util.tree_leaves(want_grads)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
