@@ -1,0 +1,165 @@
+"""Expert parallelism: switch-style MoE feed-forward over a mesh axis.
+
+The reference has no mixture-of-experts — its "experts" are frozen
+modality extractors (SURVEY §2.8 marks EP n/a for parity).  Like
+ring_attention (SP) and pipeline (PP), this module supplies the scaling
+axis the reference never had, TPU-native:
+
+  * **top-1 (switch) routing with fixed capacity** — every shape is
+    static under jit: each expert processes exactly ``C`` token slots,
+    overflow tokens are dropped (their output falls back to the residual
+    stream), empty slots compute on zeros.  No data-dependent shapes, no
+    host round-trips.
+  * **dispatch/combine as einsums** — the (T, E, C) one-hot dispatch
+    tensor turns routing into two MXU contractions (the Shazeer
+    formulation), not scatter/gather.
+  * **expert parallelism via ``lax.all_to_all``** — with one (or more)
+    experts per device over an ``expert`` mesh axis, tokens travel to
+    their expert's device and back in two all-to-alls over ICI; expert
+    params are sharded over the axis and never replicated.
+  * **differentiable end to end** — einsum dispatch and all_to_all have
+    exact VJPs, so ``jax.grad`` yields expert-sharded parameter
+    gradients; the router's load-balancing auxiliary loss (fraction ×
+    mean-prob, scaled by E) trains the gate toward uniform utilisation.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+EXPERT_AXIS = "expert"
+
+
+def init_moe_params(rng, n_experts: int, d_model: int, d_hidden: int,
+                    router_scale: float = 0.01) -> dict:
+    """Param tree with a leading (E, ...) expert axis for the FFNs and a
+    replicated router.  Shard the ``w1/b1/w2/b2`` leaves over the expert
+    axis for expert-parallel execution."""
+    k1, k2, k3 = jax.random.split(rng, 3)
+    s1 = 1.0 / jnp.sqrt(d_model)
+    s2 = 1.0 / jnp.sqrt(d_hidden)
+    return {
+        "router": jax.random.normal(k1, (d_model, n_experts)) * router_scale,
+        "w1": jax.random.normal(k2, (n_experts, d_model, d_hidden)) * s1,
+        "b1": jnp.zeros((n_experts, d_hidden)),
+        "w2": jax.random.normal(k3, (n_experts, d_hidden, d_model)) * s2,
+        "b2": jnp.zeros((n_experts, d_model)),
+    }
+
+
+def switch_route(x, w_router, n_experts: int, capacity: int):
+    """Top-1 routing with fixed per-expert capacity.
+
+    x: (T, D) tokens.  Returns (dispatch (T, E, C) 0/1, combine
+    (T, E, C) prob-weighted, aux_loss scalar).  Tokens beyond an
+    expert's capacity get an all-zero dispatch row — their MoE output is
+    zero (callers add the residual stream, so dropped tokens pass
+    through unchanged, the standard switch semantics).
+    """
+    logits = x @ w_router                          # (T, E)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    gate = jnp.max(probs, axis=-1)                 # (T,)
+    expert = jnp.argmax(probs, axis=-1)            # (T,)
+    onehot = jax.nn.one_hot(expert, n_experts, dtype=jnp.float32)  # (T, E)
+    # position of each token within its expert's queue
+    pos = jnp.cumsum(onehot, axis=0) * onehot - 1.0          # (T, E)
+    kept = (pos >= 0) & (pos < capacity)
+    # slot index of each token within its expert's queue: only the chosen
+    # expert's column can be kept, so the sum picks it out (0 elsewhere —
+    # dropped tokens land on slot 0 but their dispatch row is zeroed by
+    # the (onehot * kept) factor below)
+    pos_oh = jax.nn.one_hot(
+        jnp.where(kept, pos, 0.0).sum(axis=-1).astype(jnp.int32),
+        capacity, dtype=jnp.float32)               # (T, C)
+    dispatch = (onehot * kept)[:, :, None] * pos_oh[:, None, :]
+    combine = dispatch * gate[:, None, None]
+    # switch load-balance loss: E * sum_e f_e * p_e  (=1 at uniform)
+    f = jnp.mean(onehot, axis=0)
+    p = jnp.mean(probs, axis=0)
+    aux = n_experts * jnp.sum(f * p)
+    return dispatch, combine, aux
+
+
+def _expert_ffn(params_local, h):
+    """(E_local, C', D) slots through each local expert's FFN."""
+    h = jnp.einsum("ecd,edh->ech", h, params_local["w1"]) \
+        + params_local["b1"][:, None, :]
+    h = jax.nn.gelu(h, approximate=True)
+    return jnp.einsum("ech,ehd->ecd", h, params_local["w2"]) \
+        + params_local["b2"][:, None, :]
+
+
+def moe_ffn_dense(params, x, capacity_factor: float = 1.25):
+    """Single-device reference execution: all experts materialised.
+
+    x: (T, D).  Returns (y (T, D), aux_loss).  The expert-parallel path
+    reproduces this bit-for-bit given the same params and tokens.
+    """
+    n_experts = params["router"].shape[-1]
+    t = x.shape[0]
+    capacity = max(int(t / n_experts * capacity_factor), 1)
+    dispatch, combine, aux = switch_route(
+        x, params["router"], n_experts, capacity)
+    slots = jnp.einsum("tec,td->ecd", dispatch, x.astype(jnp.float32))
+    out = _expert_ffn(params, slots)
+    y = jnp.einsum("tec,ecd->td", combine, out)
+    return y.astype(x.dtype), aux
+
+
+def moe_ffn_local(params_local, x_local, *, axis_name: str = EXPERT_AXIS,
+                  n_experts: int, capacity_factor: float = 1.25):
+    """Expert-parallel execution body — call INSIDE shard_map.
+
+    Tokens are sharded over the expert axis (data-parallel style:
+    ``x_local`` is this device's (T/n, D) shard); FFN params arrive as
+    this device's (E/n, ...) expert shard with the router replicated.
+    Two ``all_to_all``s move token slots to their expert's device and
+    back.  Semantics match :func:`moe_ffn_dense` on the global batch
+    with per-shard capacity (capacity is computed per token shard, so
+    global behaviour equals the dense run on each shard independently).
+    """
+    t = x_local.shape[0]
+    capacity = max(int(t / n_experts * capacity_factor), 1)
+    dispatch, combine, aux = switch_route(
+        x_local, params_local["router"], n_experts, capacity)
+    # local slots for every expert: (E, C, D)
+    slots = jnp.einsum("tec,td->ecd", dispatch,
+                       x_local.astype(jnp.float32))
+    # tiled all_to_all: the expert axis (expert-major, n_local per device)
+    # splits across devices; every device's slots for OUR experts arrive
+    # concatenated along the capacity axis in source-device order →
+    # (E_local, n_shards * C, D)
+    recv = jax.lax.all_to_all(
+        slots, axis_name, split_axis=0, concat_axis=1, tiled=True)
+    out = _expert_ffn(params_local, recv)
+    # return trip: the capacity axis splits back to source devices and the
+    # received chunks stack expert-major along axis 0 → (E, C, D), the
+    # exact inverse of the forward exchange
+    back = jax.lax.all_to_all(
+        out, axis_name, split_axis=1, concat_axis=0, tiled=True)
+    y = jnp.einsum("tec,ecd->td", combine, back)
+    # aux is a per-shard mean — replicate like a loss term
+    aux = jax.lax.pmean(aux, axis_name)
+    return y.astype(x_local.dtype), aux
+
+
+def moe_ffn(mesh: Mesh, params, x, *, axis_name: str = EXPERT_AXIS,
+            capacity_factor: float = 1.25):
+    """Jittable expert-parallel wrapper: tokens (T, D) sharded over the
+    expert axis, FFN params sharded one-or-more experts per device,
+    router replicated.  Returns (y (T, D), aux)."""
+    n_experts = params["router"].shape[-1]
+
+    def body(p_local, xs):
+        return moe_ffn_local(p_local, xs, axis_name=axis_name,
+                             n_experts=n_experts,
+                             capacity_factor=capacity_factor)
+
+    in_specs = ({"router": P(), "w1": P(axis_name), "b1": P(axis_name),
+                 "w2": P(axis_name), "b2": P(axis_name)}, P(axis_name))
+    return jax.shard_map(body, mesh=mesh, in_specs=in_specs,
+                         out_specs=(P(axis_name), P()))(params, x)

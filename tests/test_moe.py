@@ -1,0 +1,108 @@
+"""Expert-parallel MoE parity on the virtual 8-device mesh.
+
+The reference has no mixture-of-experts (SURVEY §2.8 marks EP n/a — its
+"experts" are modality extractors).  Like ring attention (SP) and the
+GPipe schedule (PP), `parallel/moe.py` supplies the scaling axis beyond
+parity; these tests prove the all_to_all dispatch reproduces the dense
+single-device execution exactly, gradients included, with expert params
+physically sharded.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from devt_tpu.parallel import moe
+
+
+def _mesh(n, axis=moe.EXPERT_AXIS):
+    return Mesh(np.array(jax.devices()[:n]), (axis,))
+
+
+def _setup(seed=0, n_experts=8, d=16, h=32, t=64):
+    params = moe.init_moe_params(jax.random.PRNGKey(seed), n_experts, d, h)
+    x = jax.random.normal(jax.random.PRNGKey(seed + 1), (t, d))
+    return params, x
+
+
+def _per_shard_dense(params, x, n_shards):
+    """Dense execution shard by shard — the exact semantics moe_ffn
+    promises (capacity is computed per token shard)."""
+    xs = x.reshape(n_shards, -1, x.shape[-1])
+    outs, auxs = zip(*(moe.moe_ffn_dense(params, xs[i])
+                       for i in range(n_shards)))
+    return jnp.concatenate(outs, 0), jnp.mean(jnp.stack(auxs))
+
+
+def test_expert_parallel_matches_dense_forward():
+    params, x = _setup()
+    mesh = _mesh(4)
+    y, aux = moe.moe_ffn(mesh, params, x)
+    y_ref, aux_ref = _per_shard_dense(params, x, 4)
+    # non-vacuity guard: routing must actually fill slots (a zero dispatch
+    # tensor would make this parity trivially true)
+    assert float(jnp.abs(y_ref).max()) > 1e-3
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               atol=1e-6, rtol=1e-6)
+    np.testing.assert_allclose(float(aux), float(aux_ref), atol=1e-5)
+
+
+def test_expert_parallel_one_expert_per_device():
+    params, x = _setup(seed=3)
+    mesh = _mesh(8)           # E == n_devices: E_local = 1
+    y, _ = moe.moe_ffn(mesh, params, x)
+    y_ref, _ = _per_shard_dense(params, x, 8)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               atol=1e-6, rtol=1e-6)
+
+
+def test_expert_parallel_gradients_match_dense():
+    params, x = _setup(seed=5)
+    mesh = _mesh(4)
+
+    def loss_ep(p, x):
+        y, aux = moe.moe_ffn(mesh, p, x)
+        return jnp.sum(y ** 2) + 0.01 * aux
+
+    def loss_dense(p, x):
+        y, aux = _per_shard_dense(p, x, 4)
+        return jnp.sum(y ** 2) + 0.01 * aux
+
+    g_ep = jax.grad(loss_ep)(params, x)
+    g_ref = jax.grad(loss_dense)(params, x)
+    for k in params:
+        np.testing.assert_allclose(np.asarray(g_ep[k]), np.asarray(g_ref[k]),
+                                   atol=2e-5, rtol=1e-4, err_msg=k)
+
+
+def test_expert_params_physically_shard():
+    """Under jit with sharded-in params, each device holds only its
+    expert slice (the EP promise: expert weights are never replicated)."""
+    params, x = _setup(seed=7)
+    mesh = _mesh(4)
+    spec = {"router": P(), "w1": P(moe.EXPERT_AXIS), "b1": P(moe.EXPERT_AXIS),
+            "w2": P(moe.EXPERT_AXIS), "b2": P(moe.EXPERT_AXIS)}
+    sharded = jax.device_put(
+        params, {k: NamedSharding(mesh, s) for k, s in spec.items()})
+    shard = sharded["w1"].addressable_shards[0]
+    assert shard.data.shape[0] == 2        # 8 experts / 4 devices
+    y, aux = jax.jit(lambda p, x: moe.moe_ffn(mesh, p, x))(sharded, x)
+    y_ref, _ = _per_shard_dense(params, x, 4)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               atol=1e-6, rtol=1e-6)
+
+
+def test_capacity_drops_overflow_tokens():
+    """Tokens past an expert's capacity get zero MoE output (switch
+    semantics: the caller's residual passes them through unchanged)."""
+    d = 8
+    params = moe.init_moe_params(jax.random.PRNGKey(0), 2, d, 16)
+    # force every token to expert 0: positive inputs x with router column 0
+    # all-tens make logit 0 = 10·Σx > 0 = logit 1 for every token
+    params["router"] = jnp.zeros_like(params["router"]).at[:, 0].set(10.0)
+    x = jnp.abs(jax.random.normal(jax.random.PRNGKey(1), (8, d))) + 0.1
+    y, _ = moe.moe_ffn_dense(params, x, capacity_factor=1.0)
+    # capacity = 8/2*1.0 = 4: first 4 tokens routed, last 4 dropped
+    assert not bool(jnp.all(y[:4] == 0.0))
+    np.testing.assert_array_equal(np.asarray(y[4:]), 0.0)
