@@ -93,6 +93,50 @@ def test_expert_params_physically_shard():
                                atol=1e-6, rtol=1e-6)
 
 
+def test_moe_composes_with_data_parallel():
+    """(data=2, expert=4) mesh: tokens DP-sharded outside, the
+    all_to_all dispatch inside each data group — expert params stay
+    expert-sharded (replicated over data), and loss + parameter
+    gradients match the dense per-shard execution on the global batch."""
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("data", moe.EXPERT_AXIS))
+    params, x = _setup(seed=11, t=128)
+
+    def replica_loss(p_local, xs):
+        y, aux = moe.moe_ffn_local(p_local, xs, n_experts=8)
+        loss = jnp.mean((xs + y) ** 2) + 0.01 * aux
+        return jax.lax.pmean(loss, ("data", moe.EXPERT_AXIS))
+
+    espec = {"router": P(), "w1": P(moe.EXPERT_AXIS),
+             "b1": P(moe.EXPERT_AXIS), "w2": P(moe.EXPERT_AXIS),
+             "b2": P(moe.EXPERT_AXIS)}
+
+    def global_loss(p, xx):
+        f = jax.shard_map(replica_loss, mesh=mesh,
+                          in_specs=(espec, P(("data", moe.EXPERT_AXIS))),
+                          out_specs=P())
+        return f(p, xx)
+
+    loss, grads = jax.jit(jax.value_and_grad(global_loss))(params, x)
+
+    def dense_loss(p, xx):
+        # 8 token shards (2 data groups x 4 expert shards), averaged —
+        # exactly what per-shard capacity + the double pmean computes
+        xs = xx.reshape(8, -1, xx.shape[-1])
+        losses = []
+        for i in range(8):
+            y, aux = moe.moe_ffn_dense(p, xs[i])
+            losses.append(jnp.mean((xs[i] + y) ** 2) + 0.01 * aux)
+        return jnp.mean(jnp.stack(losses))
+
+    want_loss, want_grads = jax.jit(jax.value_and_grad(dense_loss))(params, x)
+    np.testing.assert_allclose(float(loss), float(want_loss), rtol=1e-5)
+    for k in params:
+        np.testing.assert_allclose(np.asarray(grads[k]),
+                                   np.asarray(want_grads[k]),
+                                   rtol=1e-4, atol=1e-6, err_msg=k)
+
+
 def test_capacity_drops_overflow_tokens():
     """Tokens past an expert's capacity get zero MoE output (switch
     semantics: the caller's residual passes them through unchanged)."""
