@@ -131,7 +131,9 @@ class Config(Mapping[str, Any]):
     dp_mode: str = "auto"              # multi-device mp==1 strategy:
                                        # "auto" = shard_map over data (fused
                                        # Pallas kernels stay hot per chip);
-                                       # "gspmd" forces the pjit path
+                                       # "gspmd" forces the pjit path;
+                                       # "fsdp" = ZeRO-3: params/moments live
+                                       # sharded over data (parallel/fsdp.py)
     remat: bool = False                # jax.checkpoint the transformer stacks
     log_every: int = 50
     eval_every_epochs: int = 1
@@ -179,7 +181,7 @@ class Config(Mapping[str, Any]):
             raise ValueError(
                 "wire_format 'u8_tokens' is the pre-patchified ViT token "
                 "wire — only the vivit model consumes it")
-        if self.dp_mode not in ("auto", "gspmd"):
+        if self.dp_mode not in ("auto", "gspmd", "fsdp"):
             raise ValueError(f"unknown dp_mode {self.dp_mode!r}")
         if self.best_mode not in ("max", "min"):
             raise ValueError(f"unknown best_mode {self.best_mode!r}")

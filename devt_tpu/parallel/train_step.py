@@ -63,14 +63,17 @@ def _split_microbatches(batch, accum: int):
 def mesh_strategy(mesh, config: Config | None = None) -> str:
     """Execution strategy for a mesh: ``single`` | ``dp_shard_map`` |
     ``gspmd``.  ``config.dp_mode`` can force ``gspmd`` for an mp==1 mesh
-    (escape hatch); ``auto`` picks shard_map so the Pallas kernels
+    (escape hatch), or pick ``fsdp`` (ZeRO-3: the state lives sharded over
+    data — parallel/fsdp.py — and executes as a gspmd trace, computation
+    following the data); ``auto`` picks shard_map so the Pallas kernels
     survive scaling."""
     if mesh is None or mesh.size == 1:
         return "single"
     shape = dict(mesh.shape)
     if shape.get(MODEL_AXIS, 1) > 1 or DATA_AXIS not in shape:
         return "gspmd"
-    if config is not None and getattr(config, "dp_mode", "auto") == "gspmd":
+    if config is not None and getattr(config, "dp_mode", "auto") in (
+            "gspmd", "fsdp"):
         return "gspmd"
     return "dp_shard_map"
 

@@ -74,10 +74,16 @@ class Trainer:
         tx = build_optimizer(self.config, steps_per_epoch)
         state = TrainState.create(params, tx, model_state=variables)
         if self.mesh is not None:
-            placed = shard_variables({"params": state.params,
-                                      **state.model_state}, self.mesh)
-            params = placed.pop("params")
-            state = state.replace(params=params, model_state=placed)
+            if self.config.dp_mode == "fsdp":
+                # ZeRO-3: the whole TrainState (params, Adam moments,
+                # mutable collections) lives sharded over the data axis
+                from devt_tpu.parallel.fsdp import shard_train_state
+                state = shard_train_state(state, self.mesh)
+            else:
+                placed = shard_variables({"params": state.params,
+                                          **state.model_state}, self.mesh)
+                params = placed.pop("params")
+                state = state.replace(params=params, model_state=placed)
         if self.config.resume:
             state = ckpt_lib.restore(self.config.resume, state)
         return state
