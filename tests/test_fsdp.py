@@ -86,6 +86,29 @@ def test_fsdp_step_matches_single_device():
     assert kern.addressable_shards[0].data.size == kern.size // 8
 
 
+def test_fsdp_checkpoint_roundtrip_stays_sharded(tmp_path):
+    """Orbax save/restore of an FSDP-sharded TrainState: the save
+    consolidates device shards, and restoring into a sharded template
+    lands the arrays back distributed — the pod resume path."""
+    from devt_tpu.train import checkpoint as ckpt_lib
+
+    cfg, _, state, _ = _tiny_ptn_setup()
+    mesh = make_mesh(dp=8, mp=1)
+    placed = fsdp.shard_train_state(state, mesh)
+    path = ckpt_lib.save(str(tmp_path / "ck"), placed, cfg)
+
+    # restore into a differently-valued sharded template
+    _, _, template, _ = _tiny_ptn_setup()
+    template = fsdp.shard_train_state(
+        jax.tree_util.tree_map(lambda a: a * 0 if hasattr(a, "ndim") else a,
+                               template), mesh)
+    restored = ckpt_lib.restore(path, template)
+    kern = restored.params["encoder_0"]["layer_0"]["linear1"]["kernel"]
+    assert kern.addressable_shards[0].data.size == kern.size // 8
+    want = state.params["encoder_0"]["layer_0"]["linear1"]["kernel"]
+    np.testing.assert_allclose(np.asarray(kern), np.asarray(want))
+
+
 def test_fsdp_trains_via_harness_config():
     """The config path end to end: dp_mode='fsdp' through the Trainer's
     state placement (train/harness.py) decreases the loss."""
