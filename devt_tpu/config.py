@@ -135,6 +135,10 @@ class Config(Mapping[str, Any]):
                                        # "fsdp" = ZeRO-3: params/moments live
                                        # sharded over data (parallel/fsdp.py)
     remat: bool = False                # jax.checkpoint the transformer stacks
+    moe_experts: int = 0               # >0: switch-MoE FFNs in the vivit
+                                       # space transformer (beyond parity)
+    moe_aux_weight: float = 0.01       # router load-balance loss weight
+    moe_capacity_factor: float = 1.25  # per-expert token capacity factor
     log_every: int = 50
     eval_every_epochs: int = 1
     checkpoint_dir: str = "checkpoints"

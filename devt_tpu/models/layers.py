@@ -250,12 +250,73 @@ class ViTBlock(nn.Module):
         return x + h
 
 
+class MoEViTBlock(nn.Module):
+    """Pre-norm layer whose FFN is a top-1-routed switch MoE
+    (parallel/moe.py): ``x += attn(norm(x)); x += moe(norm(x))``.
+
+    Beyond parity — the reference has no MoE.  Routing/dispatch are the
+    static-shape einsum formulation (every expert computes exactly C
+    capacity slots; overflow tokens ride the residual), so the block jits
+    with no data-dependent shapes.  The router's load-balance auxiliary
+    loss is sown into the ``"losses"`` collection; train/steps.py adds it
+    to the objective weighted by ``config.moe_aux_weight``.  The expert
+    params carry a leading (E, …) axis under the ``moe`` scope, so an
+    expert-parallel deployment shards them over the expert mesh axis and
+    runs the identical math via ``parallel.moe.moe_ffn`` (parity tested).
+    """
+    dim: int
+    heads: int
+    dim_head: int
+    mlp_dim: int
+    n_experts: int
+    capacity_factor: float = 1.25
+    dropout: float = 0.0
+    attention_impl: str = "auto"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True,
+                 kv_len: int | None = None):
+        from devt_tpu.parallel.moe import moe_ffn_dense
+
+        h = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype,
+                         name="attn_norm")(x)
+        h = ViTAttention(self.dim, heads=self.heads, dim_head=self.dim_head,
+                         dropout=self.dropout,
+                         attention_impl=self.attention_impl,
+                         dtype=self.dtype, name="attn")(
+                             h, deterministic, kv_len)
+        x = x + h
+        h = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="ff_norm")(x)
+        e, d, f = self.n_experts, self.dim, self.mlp_dim
+        moe_params = {
+            "router": self.param("moe_router",
+                                 nn.initializers.normal(stddev=0.01),
+                                 (d, e)),
+            "w1": self.param("moe_w1", nn.initializers.lecun_normal(),
+                             (e, d, f)),
+            "b1": self.param("moe_b1", nn.initializers.zeros, (e, f)),
+            "w2": self.param("moe_w2", nn.initializers.lecun_normal(),
+                             (e, f, d)),
+            "b2": self.param("moe_b2", nn.initializers.zeros, (e, d)),
+        }
+        y, aux = moe_ffn_dense(moe_params, h.reshape(-1, d),
+                               capacity_factor=self.capacity_factor)
+        self.sow("losses", "moe_aux", aux)
+        y = nn.Dropout(self.dropout)(y.reshape(h.shape),
+                                     deterministic=deterministic)
+        return x + y
+
+
 class ViTTransformer(nn.Module):
     """Pre-norm residual transformer with trailing LayerNorm.
 
     Reference: src/models/vit.py:60-75 — ``x = attn(norm(x)) + x;
     x = ff(norm(x)) + x`` per layer, then a final norm.
     ``remat`` rematerialises each block on the backward pass.
+    ``moe_experts > 0`` swaps every ``moe_every``-th layer's FFN for a
+    switch MoE (so depth=4, moe_every=2 gives dense/moe/dense/moe — the
+    standard interleaving).
     """
     dim: int
     depth: int
@@ -265,20 +326,34 @@ class ViTTransformer(nn.Module):
     dropout: float = 0.0
     attention_impl: str = "auto"
     remat: bool = False
+    moe_experts: int = 0
+    moe_every: int = 2
+    moe_capacity_factor: float = 1.25
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True,
                  kv_len: int | None = None):
-        block_cls = ViTBlock
+        block_cls, moe_cls = ViTBlock, MoEViTBlock
         if self.remat:
             block_cls = nn.remat(ViTBlock, static_argnums=(2, 3))
+            moe_cls = nn.remat(MoEViTBlock, static_argnums=(2, 3))
         for i in range(self.depth):
-            x = block_cls(self.dim, self.heads, self.dim_head, self.mlp_dim,
-                          dropout=self.dropout,
-                          attention_impl=self.attention_impl,
-                          dtype=self.dtype, name=f"block_{i}")(
-                              x, deterministic, kv_len)
+            if self.moe_experts > 0 and i % self.moe_every == \
+                    self.moe_every - 1:
+                x = moe_cls(self.dim, self.heads, self.dim_head,
+                            self.mlp_dim, n_experts=self.moe_experts,
+                            capacity_factor=self.moe_capacity_factor,
+                            dropout=self.dropout,
+                            attention_impl=self.attention_impl,
+                            dtype=self.dtype, name=f"block_{i}")(
+                                x, deterministic, kv_len)
+            else:
+                x = block_cls(self.dim, self.heads, self.dim_head,
+                              self.mlp_dim, dropout=self.dropout,
+                              attention_impl=self.attention_impl,
+                              dtype=self.dtype, name=f"block_{i}")(
+                                  x, deterministic, kv_len)
         return nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm")(x)
 
 

@@ -133,6 +133,12 @@ class ViViT(nn.Module):
     token_pad: int = 16          # pad token axes to this multiple (0 = off)
     channels_last: bool = False  # True: input (B,T,H,W,C) — TPU-native
     remat: bool = False          # rematerialise blocks on backward
+    # moe_experts > 0: every moe_every-th SPACE-transformer layer's FFN
+    # becomes a switch MoE (models/layers.py MoEViTBlock — beyond parity;
+    # the temporal transformer stays dense: its token count is tiny)
+    moe_experts: int = 0
+    moe_every: int = 2
+    moe_capacity_factor: float = 1.25
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -159,6 +165,8 @@ class ViViT(nn.Module):
             self.dim, self.depth, self.heads, self.dim_head,
             self.dim * self.scale_dim, dropout=self.dropout,
             attention_impl=self.attention_impl, remat=self.remat,
+            moe_experts=self.moe_experts, moe_every=self.moe_every,
+            moe_capacity_factor=self.moe_capacity_factor,
             dtype=self.dtype, name="space_transformer")
         t_impl = (self.attention_impl if self.temporal_attention_impl is None
                   else self.temporal_attention_impl)

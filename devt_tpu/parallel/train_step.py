@@ -49,7 +49,7 @@ from devt_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 from devt_tpu.train.state import TrainState
 from devt_tpu.train.steps import forward_and_loss
 
-_SCALAR_AUX = ("base_loss", "distil_loss", "cossim")
+_SCALAR_AUX = ("base_loss", "distil_loss", "cossim", "moe_aux")
 
 
 def _split_microbatches(batch, accum: int):

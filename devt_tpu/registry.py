@@ -64,6 +64,8 @@ def build_model(config: Config) -> nn.Module:
                      num_frames=config.frame_len,
                      attention_impl=config.attention_impl,
                      channels_last=True,
+                     moe_experts=config.moe_experts,
+                     moe_capacity_factor=config.moe_capacity_factor,
                      remat=config.remat, dtype=dtype)
 
     if name == "tpn":

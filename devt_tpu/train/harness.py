@@ -71,6 +71,8 @@ class Trainer:
         variables = model.init(rngs, **kwargs)
         variables = dict(variables)
         params = variables.pop("params")
+        # sown MoE aux losses are transient per-step values, not state
+        variables.pop("losses", None)
         tx = build_optimizer(self.config, steps_per_epoch)
         state = TrainState.create(params, tx, model_state=variables)
         if self.mesh is not None:

@@ -55,6 +55,11 @@ def forward_and_loss(model, config: Config, variables, batch, rng,
     has_bn = any(k != "params" for k in variables)
     mutable = [k for k in variables if k != "params"] if (train and has_bn) \
         else False
+    if train and getattr(model, "moe_experts", 0):
+        # switch-MoE blocks sow their router load-balance loss into the
+        # "losses" collection (models/layers.py MoEViTBlock); collect it
+        # mutably so it reaches the objective below
+        mutable = (mutable or []) + ["losses"]
 
     def apply(*args, _variables=None, _rng=None, **kwargs):
         vs = variables if _variables is None else _variables
@@ -118,7 +123,16 @@ def forward_and_loss(model, config: Config, variables, batch, rng,
         else:                  # multi-hot genres (MMX-style)
             loss = losses.bce_with_logits(logits, label)
             probs = jax.nn.sigmoid(logits)
-        return loss, {"probs": probs, "label": label}, mut
+        aux = {"probs": probs, "label": label}
+        if isinstance(mut, dict) and "losses" in mut:
+            # mean of the sown per-MoE-layer load-balance losses, weighted
+            # into the objective; "losses" is transient — it must not
+            # land in the TrainState/checkpoints as model state
+            sown = jax.tree_util.tree_leaves(mut.pop("losses"))
+            moe_aux = sum(sown) / len(sown)
+            loss = loss + config.moe_aux_weight * moe_aux
+            aux["moe_aux"] = moe_aux
+        return loss, aux, mut
 
     if name == "tpn":
         probs, mut = apply(batch["img"], train=train)
