@@ -86,6 +86,54 @@ def test_fsdp_step_matches_single_device():
     assert kern.addressable_shards[0].data.size == kern.size // 8
 
 
+def test_fsdp_composes_with_tensor_parallel():
+    """(data=4, model=2) mesh: TP rules own the transformer kernels'
+    ``model`` dim, FSDP owns a ``data`` dim of everything else — both are
+    just PartitionSpecs, so the composition is pure GSPMD.  Loss matches
+    the replicated single-device step and params stay distributed."""
+    from devt_tpu.parallel.sharding import param_partition_specs
+    from jax.sharding import NamedSharding
+
+    cfg, model, state, batch = _tiny_ptn_setup()
+    cfg = cfg.replace(dp_mode="fsdp", mp=2)
+    mesh = make_mesh(dp=4, mp=2)
+
+    tp_specs = param_partition_specs(state.params)
+
+    def place(leaf, tp_spec):
+        if tp_spec != P():
+            # TP rule wins the kernel; add FSDP over data on the dim the
+            # TP axis left free (classic Megatron+ZeRO layout)
+            dims = list(tp_spec)
+            for i, d in enumerate(dims):
+                if d is None and leaf.shape[i] % 4 == 0:
+                    dims[i] = DATA_AXIS
+                    break
+            return jax.device_put(leaf, NamedSharding(mesh, P(*dims)))
+        return jax.device_put(
+            leaf, NamedSharding(mesh, fsdp.leaf_spec(leaf.shape, 4)))
+
+    placed_params = jax.tree_util.tree_map(place, state.params, tp_specs)
+    placed = state.replace(
+        params=placed_params,
+        opt_state=jax.tree_util.tree_map(
+            lambda l: jax.device_put(l, NamedSharding(
+                mesh, fsdp.leaf_spec(getattr(l, "shape", ()), 4)))
+            if hasattr(l, "shape") else l, state.opt_state))
+    step = make_train_step(model, cfg, mesh=mesh)
+    new_state, metrics = step(placed, shard_batch(batch, mesh),
+                              jax.random.PRNGKey(0))
+
+    cfg2, model2, state2, _ = _tiny_ptn_setup()
+    _, ref_metrics = make_train_step(model2, cfg2)(state2, batch,
+                                                   jax.random.PRNGKey(0))
+    np.testing.assert_allclose(float(metrics["loss"]),
+                               float(ref_metrics["loss"]), rtol=1e-5)
+    # a TP-ruled kernel is sharded over model AND data (2x4 = 8 shards)
+    kern = new_state.params["encoder_0"]["layer_0"]["linear1"]["kernel"]
+    assert kern.addressable_shards[0].data.size == kern.size // 8
+
+
 def test_fsdp_checkpoint_roundtrip_stays_sharded(tmp_path):
     """Orbax save/restore of an FSDP-sharded TrainState: the save
     consolidates device shards, and restoring into a sharded template
