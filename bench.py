@@ -74,6 +74,16 @@ def run_bench(batch_size: int = 32, frames: int = 16, image: int = 224,
     step_rng = jax.random.PRNGKey(1)
 
     if unroll > 1:
+        # Fresh-session protection: compile + run ONE single-step program
+        # first.  The compile cache is relay-side and per-program, but the
+        # Mosaic KERNELS inside are cached individually, so warming them
+        # via the cheap unroll=1 program keeps the big unrolled compile
+        # out of the >10-minute fresh-kernel regime (a timeout-killed
+        # cold unroll=8 compile wedges the relay for everyone — see
+        # NOTES_NEXT_ROUND.md "Measurement gotchas").
+        warm_step = make_train_step(model, cfg)
+        state, wm = warm_step(state, batch, step_rng)
+        float(wm["loss"])
         train_step = make_multi_step(model, cfg, unroll)
         batch = jax.tree_util.tree_map(
             lambda v: jnp.broadcast_to(v[None], (unroll,) + v.shape), batch)
