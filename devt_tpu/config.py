@@ -135,6 +135,7 @@ class Config(Mapping[str, Any]):
                                        # "fsdp" = ZeRO-3: params/moments live
                                        # sharded over data (parallel/fsdp.py)
     remat: bool = False                # jax.checkpoint the transformer stacks
+    grad_clip_norm: float = 0.0        # >0: global-norm gradient clipping
     moe_experts: int = 0               # >0: switch-MoE FFNs in the vivit
                                        # space transformer (beyond parity)
     moe_aux_weight: float = 0.01       # router load-balance loss weight

@@ -56,4 +56,10 @@ def build_optimizer(config: Config, steps_per_epoch: int = 1
         tx = optax.chain(optax.add_decayed_weights(wd), optax.adam(lr))
     else:
         raise ValueError(f"unknown optimiser {opt!r}")
+    clip = getattr(config, "grad_clip_norm", 0.0)
+    if clip and clip > 0.0:
+        # global-norm clipping ahead of the update (the Lightning
+        # ``gradient_clip_val`` role — the reference never set it, so
+        # the default 0.0 keeps parity; production configs can opt in)
+        tx = optax.chain(optax.clip_by_global_norm(clip), tx)
     return tx

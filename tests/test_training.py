@@ -66,6 +66,24 @@ def test_grad_accumulation_matches_full_batch():
         np.testing.assert_allclose(x, y, atol=1e-5)
 
 
+def test_grad_clip_norm_bounds_the_update():
+    """grad_clip_norm > 0 clips the global grad norm before the update:
+    with SGD (no adaptive rescale) the param delta norm is exactly
+    min(||g||, clip) * lr."""
+    cfg, model, state, batch = _tiny_ptn_setup()
+    cfg = cfg.replace(opt="sgd", momentum=0.0, weight_decay=0.0,
+                      grad_clip_norm=1e-3, learning_rate=1.0)
+    state = TrainState.create(state.params, build_optimizer(cfg))
+    before = jax.tree_util.tree_map(np.asarray, state.params)
+    state, _ = make_train_step(model, cfg)(state, batch,
+                                           jax.random.PRNGKey(0))
+    deltas = jax.tree_util.tree_map(
+        lambda a, b: np.asarray(a) - b, state.params, before)
+    gnorm = float(np.sqrt(sum(
+        float((d ** 2).sum()) for d in jax.tree_util.tree_leaves(deltas))))
+    np.testing.assert_allclose(gnorm, 1e-3, rtol=1e-4)
+
+
 def test_bn_model_state_updates():
     cfg = Config(model="basicmlp", batch_size=4, input_shape=32,
                  precision="f32", opt="adam", learning_rate=1e-3)
