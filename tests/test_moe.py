@@ -184,6 +184,56 @@ def test_moe_vivit_trains_and_aux_reaches_loss():
     assert np.isfinite(float(eval_loss))
 
 
+def test_moe_vivit_under_dp_mesh_matches_single_device():
+    """MoE-ViViT on an 8-way DP mesh (shard_map step): each replica
+    routes its batch shard, the load-balance aux pmeans with the loss,
+    and — with capacity generous enough that no shard drops tokens —
+    loss and moe_aux match the single-device global-batch step."""
+    from devt_tpu.config import Config
+    from devt_tpu.parallel.mesh import make_mesh, shard_batch
+    from devt_tpu.parallel.train_step import (make_train_step,
+                                              mesh_strategy)
+    from devt_tpu.models.vivit import ViViT
+    from devt_tpu.train.optimizers import build_optimizer
+    from devt_tpu.train.state import TrainState
+
+    cfg = Config(model="vivit", batch_size=8, frame_len=2, n_classes=5,
+                 opt="adamW", learning_rate=1e-3, precision="f32",
+                 dropout=0.0, attention_impl="xla", moe_experts=2,
+                 moe_capacity_factor=2.0)
+    model = ViViT(image_size=32, patch_size=16, num_classes=5,
+                  num_frames=2, dim=16, depth=2, heads=2, dim_head=8,
+                  channels_last=True, attention_impl="xla",
+                  moe_experts=2, moe_capacity_factor=2.0)
+    rng = np.random.default_rng(3)
+    batch = {"vid": rng.standard_normal((8, 2, 32, 32, 3),
+                                        dtype=np.float32),
+             "label": (rng.random((8, 5)) < 0.4).astype(np.float32)}
+    variables = dict(model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.asarray(batch["vid"])))
+    variables.pop("losses", None)
+
+    mesh = make_mesh(dp=8, mp=1)
+    assert mesh_strategy(mesh, cfg) == "dp_shard_map"
+    # the train step donates its state — give each run its own buffers
+    params2 = jax.tree_util.tree_map(jnp.array, variables["params"])
+    state = TrainState.create(variables["params"], build_optimizer(cfg))
+    _, metrics = make_train_step(model, cfg, mesh=mesh)(
+        state, shard_batch(batch, mesh), jax.random.PRNGKey(2))
+
+    state2 = TrainState.create(params2, build_optimizer(cfg))
+    _, ref = make_train_step(model, cfg)(state2, batch,
+                                         jax.random.PRNGKey(2))
+    np.testing.assert_allclose(float(metrics["loss"]), float(ref["loss"]),
+                               rtol=1e-5)
+    # aux = E*sum(f*p) is a product of batch means, so the pmean of
+    # per-shard values differs from the global-batch value at O(1/B) —
+    # per-replica routing statistics, the DDP-BatchNorm semantics
+    np.testing.assert_allclose(float(metrics["moe_aux"]),
+                               float(ref["moe_aux"]), rtol=5e-3)
+
+
 def test_moe_block_params_deploy_expert_parallel():
     """Weights trained through the dense model block run unchanged on
     the expert-parallel path: extract the (E, ...) params and execute
