@@ -138,6 +138,7 @@ class Config(Mapping[str, Any]):
     grad_clip_norm: float = 0.0        # >0: global-norm gradient clipping
     moe_experts: int = 0               # >0: switch-MoE FFNs in the vivit
                                        # space transformer (beyond parity)
+    moe_every: int = 2                 # every k-th layer's FFN becomes MoE
     moe_aux_weight: float = 0.01       # router load-balance loss weight
     moe_capacity_factor: float = 1.25  # per-expert token capacity factor
     log_every: int = 50

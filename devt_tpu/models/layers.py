@@ -300,8 +300,18 @@ class MoEViTBlock(nn.Module):
                              (e, f, d)),
             "b2": self.param("moe_b2", nn.initializers.zeros, (e, d)),
         }
+        # tile-alignment pad tokens (kv_len < S, models/vivit.py
+        # _pad_tokens) must not consume expert capacity or skew the
+        # load-balance statistics — mask them out of routing; their MoE
+        # output is zero and the residual carries them unchanged
+        valid = None
+        if kv_len is not None and kv_len != h.shape[1]:
+            valid = jnp.broadcast_to(
+                (jnp.arange(h.shape[1]) < kv_len)[None], h.shape[:2]
+            ).reshape(-1)
         y, aux = moe_ffn_dense(moe_params, h.reshape(-1, d),
-                               capacity_factor=self.capacity_factor)
+                               capacity_factor=self.capacity_factor,
+                               valid=valid)
         self.sow("losses", "moe_aux", aux)
         y = nn.Dropout(self.dropout)(y.reshape(h.shape),
                                      deterministic=deterministic)

@@ -51,7 +51,7 @@ def init_moe_params(rng, n_experts: int, d_model: int, d_hidden: int,
     }
 
 
-def switch_route(x, w_router, n_experts: int, capacity: int):
+def switch_route(x, w_router, n_experts: int, capacity: int, valid=None):
     """Top-1 routing with fixed per-expert capacity.
 
     x: (T, D) tokens.  Returns (dispatch (T, E, C) 0/1, combine
@@ -59,12 +59,19 @@ def switch_route(x, w_router, n_experts: int, capacity: int):
     expert's capacity get an all-zero dispatch row — their MoE output is
     zero (callers add the residual stream, so dropped tokens pass
     through unchanged, the standard switch semantics).
+
+    ``valid`` (optional (T,) 0/1 mask): tokens marked 0 — e.g. the
+    tile-alignment pads of models/vivit.py — are excluded up front: they
+    never enter an expert's capacity queue (so pads cannot evict real
+    tokens) and contribute nothing to the load-balance f/p statistics.
     """
     logits = x @ w_router                          # (T, E)
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
     gate = jnp.max(probs, axis=-1)                 # (T,)
     expert = jnp.argmax(probs, axis=-1)            # (T,)
     onehot = jax.nn.one_hot(expert, n_experts, dtype=jnp.float32)  # (T, E)
+    if valid is not None:
+        onehot = onehot * valid.astype(jnp.float32)[:, None]
     # position of each token within its expert's queue
     pos = jnp.cumsum(onehot, axis=0) * onehot - 1.0          # (T, E)
     kept = (pos >= 0) & (pos < capacity)
@@ -77,41 +84,58 @@ def switch_route(x, w_router, n_experts: int, capacity: int):
         capacity, dtype=jnp.float32)               # (T, C)
     dispatch = (onehot * kept)[:, :, None] * pos_oh[:, None, :]
     combine = dispatch * gate[:, None, None]
-    # switch load-balance loss: E * sum_e f_e * p_e  (=1 at uniform)
-    f = jnp.mean(onehot, axis=0)
-    p = jnp.mean(probs, axis=0)
+    # switch load-balance loss: E * sum_e f_e * p_e  (=1 at uniform),
+    # statistics over the valid tokens only
+    if valid is None:
+        f = jnp.mean(onehot, axis=0)
+        p = jnp.mean(probs, axis=0)
+    else:
+        v = valid.astype(jnp.float32)
+        denom = jnp.maximum(jnp.sum(v), 1.0)
+        f = jnp.sum(onehot, axis=0) / denom        # onehot already masked
+        p = jnp.sum(probs * v[:, None], axis=0) / denom
     aux = n_experts * jnp.sum(f * p)
     return dispatch, combine, aux
 
 
 def _expert_ffn(params_local, h):
-    """(E_local, C', D) slots through each local expert's FFN."""
-    h = jnp.einsum("ecd,edh->ech", h, params_local["w1"]) \
-        + params_local["b1"][:, None, :]
+    """(E_local, C', D) slots through each local expert's FFN.
+
+    Compute follows the slot dtype (bf16 under the flagship precision —
+    the expert matmuls are where the FLOPs are); the router/softmax/aux
+    upstream stay f32.
+    """
+    dt = h.dtype
+    h = jnp.einsum("ecd,edh->ech", h, params_local["w1"].astype(dt)) \
+        + params_local["b1"].astype(dt)[:, None, :]
     h = jax.nn.gelu(h, approximate=True)
-    return jnp.einsum("ech,ehd->ecd", h, params_local["w2"]) \
-        + params_local["b2"][:, None, :]
+    return jnp.einsum("ech,ehd->ecd", h, params_local["w2"].astype(dt)) \
+        + params_local["b2"].astype(dt)[:, None, :]
 
 
-def moe_ffn_dense(params, x, capacity_factor: float = 1.25):
+def moe_ffn_dense(params, x, capacity_factor: float = 1.25, valid=None):
     """Single-device reference execution: all experts materialised.
 
     x: (T, D).  Returns (y (T, D), aux_loss).  The expert-parallel path
     reproduces this bit-for-bit given the same params and tokens.
+    Dispatch/combine/expert einsums run in x.dtype (f32 in == the exact
+    f32 formulation; bf16 in == MXU-rate expert compute, the standard
+    MoE mixed-precision split — routing stays f32 either way).
     """
     n_experts = params["router"].shape[-1]
     t = x.shape[0]
     capacity = max(int(t / n_experts * capacity_factor), 1)
     dispatch, combine, aux = switch_route(
-        x, params["router"], n_experts, capacity)
-    slots = jnp.einsum("tec,td->ecd", dispatch, x.astype(jnp.float32))
+        x, params["router"], n_experts, capacity, valid=valid)
+    slots = jnp.einsum("tec,td->ecd", dispatch.astype(x.dtype), x)
     out = _expert_ffn(params, slots)
-    y = jnp.einsum("tec,ecd->td", combine, out)
-    return y.astype(x.dtype), aux
+    y = jnp.einsum("tec,ecd->td", combine.astype(x.dtype), out)
+    return y, aux
 
 
 def moe_ffn_local(params_local, x_local, *, axis_name: str = EXPERT_AXIS,
-                  n_experts: int, capacity_factor: float = 1.25):
+                  n_experts: int, capacity_factor: float = 1.25,
+                  valid_local=None):
     """Expert-parallel execution body — call INSIDE shard_map.
 
     Tokens are sharded over the expert axis (data-parallel style:
@@ -125,10 +149,11 @@ def moe_ffn_local(params_local, x_local, *, axis_name: str = EXPERT_AXIS,
     t = x_local.shape[0]
     capacity = max(int(t / n_experts * capacity_factor), 1)
     dispatch, combine, aux = switch_route(
-        x_local, params_local["router"], n_experts, capacity)
+        x_local, params_local["router"], n_experts, capacity,
+        valid=valid_local)
     # local slots for every expert: (E, C, D)
-    slots = jnp.einsum("tec,td->ecd", dispatch,
-                       x_local.astype(jnp.float32))
+    slots = jnp.einsum("tec,td->ecd", dispatch.astype(x_local.dtype),
+                       x_local)
     # tiled all_to_all: the expert axis (expert-major, n_local per device)
     # splits across devices; every device's slots for OUR experts arrive
     # concatenated along the capacity axis in source-device order →
@@ -141,10 +166,10 @@ def moe_ffn_local(params_local, x_local, *, axis_name: str = EXPERT_AXIS,
     # exact inverse of the forward exchange
     back = jax.lax.all_to_all(
         out, axis_name, split_axis=1, concat_axis=0, tiled=True)
-    y = jnp.einsum("tec,ecd->td", combine, back)
+    y = jnp.einsum("tec,ecd->td", combine.astype(x_local.dtype), back)
     # aux is a per-shard mean — replicate like a loss term
     aux = jax.lax.pmean(aux, axis_name)
-    return y.astype(x_local.dtype), aux
+    return y, aux
 
 
 def moe_ffn(mesh: Mesh, params, x, *, axis_name: str = EXPERT_AXIS,

@@ -65,6 +65,7 @@ def build_model(config: Config) -> nn.Module:
                      attention_impl=config.attention_impl,
                      channels_last=True,
                      moe_experts=config.moe_experts,
+                     moe_every=config.moe_every,
                      moe_capacity_factor=config.moe_capacity_factor,
                      remat=config.remat, dtype=dtype)
 

@@ -18,6 +18,10 @@ runs over ICI; `python -m devt_tpu.main --dp -1 --mp 2` (or
 """
 
 import os
+import sys
+
+# __graft_entry__ lives at the repo root (not in the installed package)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
 
