@@ -25,7 +25,6 @@ axis the reference never had, TPU-native:
 
 from __future__ import annotations
 
-from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,6 @@ An explicit ``shard_map`` variant lives in devt_tpu.models.losses.nt_xent.
 
 from __future__ import annotations
 
-from typing import Any
 
 import jax
 import jax.numpy as jnp
