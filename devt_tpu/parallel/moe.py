@@ -172,18 +172,26 @@ def moe_ffn_local(params_local, x_local, *, axis_name: str = EXPERT_AXIS,
 
 
 def moe_ffn(mesh: Mesh, params, x, *, axis_name: str = EXPERT_AXIS,
-            capacity_factor: float = 1.25):
+            capacity_factor: float = 1.25, valid=None):
     """Jittable expert-parallel wrapper: tokens (T, D) sharded over the
     expert axis, FFN params sharded one-or-more experts per device,
-    router replicated.  Returns (y (T, D), aux)."""
+    router replicated.  Returns (y (T, D), aux).  ``valid`` (optional
+    (T,) 0/1, sharded with the tokens) masks pad tokens out of routing
+    (see :func:`switch_route`)."""
     n_experts = params["router"].shape[-1]
+    pspec = {"router": P(), "w1": P(axis_name), "b1": P(axis_name),
+             "w2": P(axis_name), "b2": P(axis_name)}
 
-    def body(p_local, xs):
+    def body(p_local, xs, vs=None):
         return moe_ffn_local(p_local, xs, axis_name=axis_name,
                              n_experts=n_experts,
-                             capacity_factor=capacity_factor)
+                             capacity_factor=capacity_factor,
+                             valid_local=vs)
 
-    in_specs = ({"router": P(), "w1": P(axis_name), "b1": P(axis_name),
-                 "w2": P(axis_name), "b2": P(axis_name)}, P(axis_name))
-    return jax.shard_map(body, mesh=mesh, in_specs=in_specs,
+    if valid is not None:
+        return jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(pspec, P(axis_name), P(axis_name)),
+            out_specs=(P(axis_name), P()))(params, x, valid)
+    return jax.shard_map(body, mesh=mesh, in_specs=(pspec, P(axis_name)),
                          out_specs=(P(axis_name), P()))(params, x)

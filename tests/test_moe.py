@@ -271,6 +271,27 @@ def test_capacity_drops_overflow_tokens():
     np.testing.assert_array_equal(np.asarray(y[4:]), 0.0)
 
 
+def test_valid_mask_matches_dense_on_expert_parallel_path():
+    """The EP wrapper threads the pad mask: masked execution over the
+    mesh equals masked dense execution per shard."""
+    params, x = _setup(seed=13)
+    valid = (jax.random.uniform(jax.random.PRNGKey(14), (64,)) > 0.3)
+    valid = valid.astype(jnp.float32)
+    y, aux = moe.moe_ffn(_mesh(4), params, x, valid=valid)
+    xs = x.reshape(4, 16, -1)
+    vs = valid.reshape(4, 16)
+    outs, auxs = zip(*(moe.moe_ffn_dense(params, xs[i], valid=vs[i])
+                       for i in range(4)))
+    y_ref = jnp.concatenate(outs, 0)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               atol=1e-6, rtol=1e-6)
+    np.testing.assert_allclose(float(aux), float(jnp.mean(jnp.stack(auxs))),
+                               atol=1e-5)
+    # masked tokens produced zero MoE output
+    np.testing.assert_array_equal(
+        np.asarray(y)[np.asarray(valid) == 0.0], 0.0)
+
+
 def test_invalid_tokens_never_consume_capacity():
     """``valid`` masking (the MoEViTBlock pad path): masked tokens get
     zero MoE output and do NOT evict real tokens from an expert's
