@@ -270,6 +270,10 @@ class MoEViTBlock(nn.Module):
     mlp_dim: int
     n_experts: int
     capacity_factor: float = 1.25
+    # eval uses a roomier queue so few tokens drop at inference (the
+    # Switch-Transformer convention); train keeps the tight factor that
+    # pressures the router toward balance
+    eval_capacity_factor: float = 2.0
     dropout: float = 0.0
     attention_impl: str = "auto"
     dtype: jnp.dtype = jnp.float32
@@ -309,9 +313,10 @@ class MoEViTBlock(nn.Module):
             valid = jnp.broadcast_to(
                 (jnp.arange(h.shape[1]) < kv_len)[None], h.shape[:2]
             ).reshape(-1)
+        cf = (self.capacity_factor if not deterministic
+              else max(self.capacity_factor, self.eval_capacity_factor))
         y, aux = moe_ffn_dense(moe_params, h.reshape(-1, d),
-                               capacity_factor=self.capacity_factor,
-                               valid=valid)
+                               capacity_factor=cf, valid=valid)
         self.sow("losses", "moe_aux", aux)
         y = nn.Dropout(self.dropout)(y.reshape(h.shape),
                                      deterministic=deterministic)
