@@ -573,36 +573,56 @@ def main():
     return 0 if result.get("value", 0) > 0 else 1
 
 
-def _watchdog_main(timeout_s: int = 1500) -> int:
-    """Run the bench in a subprocess with a hard timeout.
+def _watchdog_main(warm_timeout_s: int = 2400,
+                   bench_timeout_s: int = 1800) -> int:
+    """Run the bench in subprocesses with hard timeouts, STAGED so a kill
+    never lands mid-way through the big unrolled compile.
 
-    The tunneled TPU backend can wedge indefinitely (in-flight remote
-    compiles survive client death — see .claude/skills/verify/SKILL.md);
-    a hang must still produce one parseable JSON line.
+    The tunneled TPU backend can wedge indefinitely, and killing a client
+    whose big compile is in flight wedges the relay for every later
+    session (see .claude/skills/verify/SKILL.md).  So: stage A compiles +
+    runs the cheap unroll=1 program (warming every Mosaic kernel in the
+    relay-side cache — generous timeout, and a kill here at worst orphans
+    a SMALL compile); stage B then runs the real bench, whose in-process
+    warm step and unrolled program compile from warm kernels.  A hang
+    still produces one parseable JSON line either way.
     """
     import subprocess
+
+    fail = {"metric": "clips/sec/chip fwd+bwd (16x224x224 clips)",
+            "value": 0.0, "unit": "clips/sec/chip", "vs_baseline": 0.0}
+    try:
+        warm = subprocess.run(
+            [sys.executable, __file__, "--inner", "--warm-only"],
+            capture_output=True, text=True, timeout=warm_timeout_s)
+        if warm.returncode != 0:
+            print(json.dumps({**fail, "error":
+                              f"warm stage rc={warm.returncode}; stderr "
+                              f"tail: {(warm.stderr or '')[-300:]}"}))
+            return 1
+    except subprocess.TimeoutExpired:
+        print(json.dumps({**fail, "error":
+                          f"warm stage timed out after {warm_timeout_s}s "
+                          f"(TPU backend unresponsive)"}))
+        return 1
 
     try:
         proc = subprocess.run(
             [sys.executable, __file__, "--inner"],
-            capture_output=True, text=True, timeout=timeout_s)
+            capture_output=True, text=True, timeout=bench_timeout_s)
         for line in (proc.stdout or "").splitlines():
             line = line.strip()
             if line.startswith("{"):
                 print(line)
                 return proc.returncode
-        print(json.dumps({
-            "metric": "clips/sec/chip fwd+bwd (16x224x224 clips)",
-            "value": 0.0, "unit": "clips/sec/chip", "vs_baseline": 0.0,
-            "error": f"no JSON emitted; stderr tail: "
-                     f"{(proc.stderr or '')[-300:]}"}))
+        print(json.dumps({**fail, "error":
+                          f"no JSON emitted; stderr tail: "
+                          f"{(proc.stderr or '')[-300:]}"}))
         return 1
     except subprocess.TimeoutExpired:
-        print(json.dumps({
-            "metric": "clips/sec/chip fwd+bwd (16x224x224 clips)",
-            "value": 0.0, "unit": "clips/sec/chip", "vs_baseline": 0.0,
-            "error": f"bench timed out after {timeout_s}s (TPU backend "
-                     f"unresponsive)"}))
+        print(json.dumps({**fail, "error":
+                          f"bench timed out after {bench_timeout_s}s (TPU "
+                          f"backend unresponsive)"}))
         return 1
 
 
@@ -618,5 +638,11 @@ if __name__ == "__main__":
         print(json.dumps(detail["north_star"]))
         sys.exit(0)
     if "--inner" in sys.argv:
+        if "--warm-only" in sys.argv:
+            # stage A of the watchdog: compile + run the single-step
+            # program so every Mosaic kernel lands in the relay cache
+            r = run_bench(iters=1, warmup=1, unroll=1)
+            print(json.dumps({"warm": True, "value": r["value"]}))
+            sys.exit(0)
         sys.exit(main())
     sys.exit(_watchdog_main())
