@@ -239,6 +239,30 @@ def test_main_entry_end_to_end(tmp_path, monkeypatch):
     assert os.path.exists(tmp_path / "ckpt" / "config.yaml")
 
 
+def test_main_entry_vivit_moe(tmp_path, monkeypatch):
+    """The config-driven MoE surface end to end: --moe_experts through
+    main() trains a MoE-ViViT (transient 'losses' collection never lands
+    in the checkpointed state) and evaluates."""
+    monkeypatch.chdir(tmp_path)
+    from devt_tpu import main as entry
+    results = entry.main([
+        "--model", "vivit", "--data_set", "synthetic", "--epochs", "1",
+        "--batch_size", "2", "--frame_len", "2", "--n_classes", "7",
+        "--precision", "f32", "--max_steps", "3",
+        "--attention_impl", "xla", "--dropout", "0.0",
+        "--moe_experts", "2",
+        "--checkpoint_dir", str(tmp_path / "ckpt"),
+    ])
+    assert "test/loss" in results
+    import orbax.checkpoint as ocp
+    from devt_tpu.train.checkpoint import latest_checkpoint
+    path = latest_checkpoint(str(tmp_path / "ckpt"))
+    payload = ocp.StandardCheckpointer().restore(path)
+    assert "losses" not in payload["model_state"]
+    blk = payload["params"]["space_transformer"]["block_1"]
+    assert blk["moe_w1"].shape[0] == 2
+
+
 def test_multi_step_matches_separate_steps():
     """make_multi_step (scan of K full train steps in one XLA program) is
     bit-equivalent to K separate make_train_step calls."""
