@@ -36,6 +36,15 @@ _RULES: tuple[tuple[str, P], ...] = (
     ("linear2/kernel", P(MODEL_AXIS, None)),
     ("fc1/kernel", P(None, MODEL_AXIS)),   # ViT FeedForward up-proj
     ("fc2/kernel", P(MODEL_AXIS, None)),   # ViT FeedForward down-proj
+    # switch-MoE experts (models/layers.py MoEViTBlock): shard the
+    # leading expert axis — GSPMD then keeps the expert FFN einsums
+    # fully local per shard and inserts one psum at the combine
+    # contraction, i.e. expert parallelism over the model axis with no
+    # bespoke collectives (router stays replicated by the default)
+    ("moe_w1", P(MODEL_AXIS, None, None)),
+    ("moe_b1", P(MODEL_AXIS, None)),
+    ("moe_w2", P(MODEL_AXIS, None, None)),
+    ("moe_b2", P(MODEL_AXIS, None)),
 )
 
 
