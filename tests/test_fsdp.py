@@ -134,6 +134,24 @@ def test_fsdp_composes_with_tensor_parallel():
     assert kern.addressable_shards[0].data.size == kern.size // 8
 
 
+def test_fsdp_with_grad_accumulation():
+    """FSDP composes with the lax.scan microbatch accumulator: the
+    sharded accum-2 step reproduces the replicated full-batch step."""
+    cfg, model, state, batch = _tiny_ptn_setup(accum=2)
+    cfg = cfg.replace(dp_mode="fsdp")
+    mesh = make_mesh(dp=8, mp=1)
+    placed = fsdp.shard_train_state(state, mesh)
+    step = make_train_step(model, cfg, mesh=mesh)
+    _, metrics = step(placed, shard_batch(batch, mesh),
+                      jax.random.PRNGKey(0))
+
+    cfg2, model2, state2, _ = _tiny_ptn_setup(accum=1)
+    _, ref = make_train_step(model2, cfg2)(state2, batch,
+                                           jax.random.PRNGKey(0))
+    np.testing.assert_allclose(float(metrics["loss"]), float(ref["loss"]),
+                               rtol=1e-5)
+
+
 def test_fsdp_checkpoint_roundtrip_stays_sharded(tmp_path):
     """Orbax save/restore of an FSDP-sharded TrainState: the save
     consolidates device shards, and restoring into a sharded template
