@@ -233,3 +233,37 @@ def test_auto_impl_takes_pallas_under_dropout():
         dropout_rng=jax.random.PRNGKey(1)))(qkv)
     assert out.shape == (2, 16, 128)
     assert bool(jnp.all(jnp.isfinite(out.astype(jnp.float32))))
+
+
+def test_moe_vivit_step_on_chip():
+    """MoE-ViViT full train step on the real chip: the MoE layers route
+    through f32 einsum dispatch while the dense attention path keeps the
+    fused Pallas kernels; loss and aux finite."""
+    import jax.numpy as jnp
+
+    from devt_tpu.config import Config
+    from devt_tpu.models.vivit import ViViT
+    from devt_tpu.parallel.train_step import make_train_step
+    from devt_tpu.train.optimizers import build_optimizer
+    from devt_tpu.train.state import TrainState
+
+    cfg = Config(model="vivit", batch_size=4, frame_len=4, n_classes=19,
+                 opt="adamW", learning_rate=1e-4, precision="bf16",
+                 moe_experts=4)
+    model = ViViT(image_size=224, patch_size=16, num_classes=19,
+                  num_frames=4, dtype=jnp.bfloat16, channels_last=True,
+                  moe_experts=4)
+    rng = np.random.default_rng(0)
+    batch = {"vid": jnp.asarray(rng.standard_normal(
+                 (4, 4, 224, 224, 3), dtype=np.float32), jnp.bfloat16),
+             "label": jnp.asarray(
+                 (rng.random((4, 19)) < 0.3).astype(np.float32))}
+    variables = dict(model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch["vid"]))
+    variables.pop("losses", None)
+    state = TrainState.create(variables["params"], build_optimizer(cfg))
+    state, metrics = make_train_step(model, cfg)(state, batch,
+                                                 jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["moe_aux"]))
