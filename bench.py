@@ -446,6 +446,14 @@ def bench_pipeline_architecture(tmp_root: str = "/tmp/devt_bench_corpus"
     labels = (rng.random((64, 19)) < 0.3).astype(np.float32)
 
     class RamDataset:
+        # fill-into contract (data/pipeline.py): each sample is written
+        # straight into its batch slot — one copy pool→batch, no
+        # intermediate sample array, no collate stack
+        item_spec = {
+            "vid": ((cfg.seq_len, cfg.frame_len, 112, 112, 3), np.uint8),
+            "label": ((19,), np.float32),
+        }
+
         def __len__(self):
             return 64
 
@@ -459,6 +467,15 @@ def bench_pipeline_architecture(tmp_root: str = "/tmp/devt_bench_corpus"
             s, f, h, w, c = vid.shape
             T.random_erasing_clip_u8(vid.reshape(s * f, h, w, c), r)
             return {"vid": vid, "label": labels[i]}
+
+        def getitem_into(self, i, out):
+            import random as _r
+
+            r = _r.Random(i)
+            np.copyto(out["vid"], pool[i])
+            s, f, h, w, c = out["vid"].shape
+            T.random_erasing_clip_u8(out["vid"].reshape(s * f, h, w, c), r)
+            np.copyto(out["label"], labels[i])
 
     loader = Loader(RamDataset(), cfg.batch_size, shuffle=True,
                     num_workers=8, process_index=0, process_count=1)

@@ -95,8 +95,23 @@ class Loader:
         if n_batches == 0:
             return
 
+        # fill-into fast path: a dataset exposing ``item_spec`` (key ->
+        # (shape, dtype)) and ``getitem_into(idx, out)`` writes each
+        # sample DIRECTLY into its slot of the preallocated batch buffer
+        # — the np.stack copy of the generic collate disappears, halving
+        # per-sample host byte traffic (the native batch decoder works
+        # the same way; this extends the contract to python datasets)
+        fill = getattr(self.dataset, "getitem_into", None)
+        spec = getattr(self.dataset, "item_spec", None)
+
         def assemble(b: int) -> dict[str, np.ndarray]:
             batch_idx = indices[b * self.batch_size:(b + 1) * self.batch_size]
+            if fill is not None and spec is not None:
+                out = {k: np.empty((len(batch_idx),) + tuple(s), d)
+                       for k, (s, d) in spec.items()}
+                for j, i in enumerate(batch_idx):
+                    fill(int(i), {k: v[j] for k, v in out.items()})
+                return out
             items = [self.dataset[int(i)] for i in batch_idx]
             return _collate(items)
 

@@ -447,3 +447,41 @@ def test_random_erasing_clip_vectorized_variants():
     zeroed = (fclip == 0.0).all(axis=-1)
     assert 0.4 < zeroed.any(axis=(1, 2)).mean() < 0.6
     assert np.all(fclip[~zeroed] == 1.0)
+
+
+def test_loader_fill_into_matches_generic_collate():
+    """The fill-into fast path (item_spec + getitem_into writes each
+    sample straight into its batch slot) yields byte-identical batches
+    to the generic __getitem__ + collate path, in both worker modes."""
+    from devt_tpu.data.pipeline import Loader
+
+    rng = np.random.default_rng(0)
+    data = rng.integers(0, 255, (10, 3, 5), np.uint8)
+    labels = rng.standard_normal((10, 4)).astype(np.float32)
+
+    class Generic:
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, i):
+            return {"x": data[i], "label": labels[i]}
+
+    class Fill(Generic):
+        item_spec = {"x": ((3, 5), np.uint8), "label": ((4,), np.float32)}
+
+        def getitem_into(self, i, out):
+            np.copyto(out["x"], data[i])
+            np.copyto(out["label"], labels[i])
+
+    for workers in (1, 2):
+        a = list(Loader(Generic(), 4, shuffle=True, seed=3,
+                        num_workers=workers, process_index=0,
+                        process_count=1))
+        b = list(Loader(Fill(), 4, shuffle=True, seed=3,
+                        num_workers=workers, process_index=0,
+                        process_count=1))
+        assert len(a) == len(b) == 2
+        for ba, bb in zip(a, b):
+            np.testing.assert_array_equal(ba["x"], bb["x"])
+            np.testing.assert_array_equal(ba["label"], bb["label"])
+            assert bb["x"].dtype == np.uint8
