@@ -111,6 +111,26 @@ class _FrameClipPacker:
             out["vid"] = vid
         return out
 
+    def item_spec(self) -> dict:
+        """Per-sample (shape, dtype) map — the Loader fill-into contract
+        (data/pipeline.py): samples pack straight into their batch slot,
+        skipping the collate stack copy."""
+        spec = {"label": ((19,), np.float32)}
+        if self.need_img:
+            spec["img"] = ((self.seq_len, 224, 224, 3), np.float32)
+        if self.need_vid:
+            spec["vid"] = ((self.seq_len, self.frame_len, 112, 112, 3),
+                           np.uint8 if self.vid_u8 else np.float32)
+        return spec
+
+    def init_into(self, out: dict) -> None:
+        """Initialise a batch slot exactly like :meth:`empty` (zeros /
+        u8 mean-fill) before the scene loop packs into it."""
+        if "img" in out:
+            out["img"][...] = 0.0
+        if "vid" in out:
+            out["vid"][...] = self._u8_fill if self.vid_u8 else 0.0
+
     def pack_scene(self, img, vid, slot: int, frame_paths: list[str],
                    rng: random.Random, cycle: bool):
         train = self.state == "train"
@@ -262,25 +282,12 @@ class MMXFrameDataset:
     def __len__(self) -> int:
         return len(self.df)
 
-    def __getitem__(self, idx: int):
-        rng = random.Random(hash((self.config.seed, self.state, idx,
-                                  random.random()
-                                  if self.state == "train" else 0)))
-        label = self.df.at[idx, "label"]
-        scenes = self.df.at[idx, "scenes"]
-        if self.whole_clip:
-            frames = []
-            for scene in scenes.values():
-                for key in (0, "000", "0"):
-                    try:
-                        frames.extend(scene[key])
-                        break
-                    except (KeyError, TypeError, IndexError):
-                        continue
-            return self.packer.sample(
-                frames, np.asarray(collect_labels_19(label), np.float32),
-                rng)
-        img, vid = self.packer.empty()
+    def _rng(self, idx: int) -> random.Random:
+        return random.Random(hash((self.config.seed, self.state, idx,
+                                   random.random()
+                                   if self.state == "train" else 0)))
+
+    def _pack_scenes(self, scenes, img, vid, rng) -> None:
         slot = 0
         for scene in scenes.values():
             if slot >= self.config.seq_len:
@@ -297,6 +304,39 @@ class MMXFrameDataset:
             self.packer.pack_scene(img, vid, slot, list(clip), rng,
                                    cycle=False)
             slot += 1
+
+    @property
+    def item_spec(self):
+        """Loader fill-into contract; None (generic path) for the
+        whole-clip/vivit packer."""
+        return None if self.whole_clip else self.packer.item_spec()
+
+    def getitem_into(self, idx: int, out: dict) -> None:
+        rng = self._rng(idx)
+        self.packer.init_into(out)
+        self._pack_scenes(self.df.at[idx, "scenes"], out.get("img"),
+                          out.get("vid"), rng)
+        out["label"][...] = np.asarray(
+            collect_labels_19(self.df.at[idx, "label"]), np.float32)
+
+    def __getitem__(self, idx: int):
+        rng = self._rng(idx)
+        label = self.df.at[idx, "label"]
+        scenes = self.df.at[idx, "scenes"]
+        if self.whole_clip:
+            frames = []
+            for scene in scenes.values():
+                for key in (0, "000", "0"):
+                    try:
+                        frames.extend(scene[key])
+                        break
+                    except (KeyError, TypeError, IndexError):
+                        continue
+            return self.packer.sample(
+                frames, np.asarray(collect_labels_19(label), np.float32),
+                rng)
+        img, vid = self.packer.empty()
+        self._pack_scenes(scenes, img, vid, rng)
         return self.packer.sample_dict(
             np.asarray(collect_labels_19(label), np.float32), img, vid)
 
@@ -315,14 +355,44 @@ class MMXLightDataset:
     def __len__(self) -> int:
         return len(self.df)
 
-    def __getitem__(self, idx: int):
-        rng = random.Random(hash((self.config.seed, self.state, idx,
-                                  random.random()
-                                  if self.state == "train" else 0)))
+    def _rng(self, idx: int) -> random.Random:
+        return random.Random(hash((self.config.seed, self.state, idx,
+                                   random.random()
+                                   if self.state == "train" else 0)))
+
+    def _row_target_scenes(self, idx: int):
         row = self.df.iloc[idx]
         labels = [row[f"g{i}"] for i in range(1, 6) if f"g{i}" in row]
         target = collect_labels_19([l for l in labels if isinstance(l, str)])
         scenes = sorted(glob.glob(os.path.join(str(row["img_root"]), "*")))
+        return np.asarray(target, np.float32), scenes
+
+    def _pack_scenes(self, scenes, img, vid, rng) -> None:
+        if not scenes:
+            return
+        frame_lists = [sorted(glob.glob(os.path.join(s, "*.png")))
+                       or sorted(glob.glob(os.path.join(s, "*")))
+                       for s in scenes]
+        for slot in range(self.config.seq_len):
+            frames = frame_lists[slot % len(scenes)]
+            self.packer.pack_scene(img, vid, slot, frames, rng, cycle=True)
+
+    @property
+    def item_spec(self):
+        """Loader fill-into contract; None (generic path) for the
+        whole-clip/vivit packer."""
+        return None if self.whole_clip else self.packer.item_spec()
+
+    def getitem_into(self, idx: int, out: dict) -> None:
+        rng = self._rng(idx)
+        target, scenes = self._row_target_scenes(idx)
+        self.packer.init_into(out)
+        self._pack_scenes(scenes, out.get("img"), out.get("vid"), rng)
+        out["label"][...] = target
+
+    def __getitem__(self, idx: int):
+        rng = self._rng(idx)
+        target, scenes = self._row_target_scenes(idx)
         if self.whole_clip:
             frames = []
             for s in scenes:
@@ -330,14 +400,7 @@ class MMXLightDataset:
                               or sorted(glob.glob(os.path.join(s, "*"))))
             return self.packer.sample(frames, target, rng)
         img, vid = self.packer.empty()
-        if scenes:
-            frame_lists = [sorted(glob.glob(os.path.join(s, "*.png")))
-                           or sorted(glob.glob(os.path.join(s, "*")))
-                           for s in scenes]
-            for slot in range(self.config.seq_len):
-                frames = frame_lists[slot % len(scenes)]
-                self.packer.pack_scene(img, vid, slot, frames, rng,
-                                       cycle=True)
+        self._pack_scenes(scenes, img, vid, rng)
         return self.packer.sample_dict(target, img, vid)
 
 

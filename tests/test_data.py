@@ -485,3 +485,43 @@ def test_loader_fill_into_matches_generic_collate():
             np.testing.assert_array_equal(ba["x"], bb["x"])
             np.testing.assert_array_equal(ba["label"], bb["label"])
             assert bb["x"].dtype == np.uint8
+
+
+def test_frame_dataset_fill_into_matches_getitem(tmp_path):
+    """The real frame dataset's fill-into path (samples pack straight
+    into the batch slot) is byte-identical to __getitem__ + collate at
+    val (deterministic sampling), for both wire formats."""
+    from devt_tpu import native
+    from devt_tpu.data import manifests
+    from devt_tpu.data.mmx_frame import MMXLightDataset
+    from devt_tpu.data.pipeline import Loader
+
+    if not native.available():
+        pytest.skip("native library not built")
+    csv_path = synthetic.write_fake_light_csv(str(tmp_path), n_movies=4,
+                                              scenes_per_movie=2,
+                                              frames_per_scene=3, size=96)
+    df, _ = manifests.load_csv_manifest(csv_path, shuffle_seed=0,
+                                        train_rows=4, val_rows=0)
+    for wire in ("u8", "f32"):
+        cfg = Config(model="vid", batch_size=2, seq_len=2, frame_len=3,
+                     n_classes=19, wire_format=wire)
+        ds = MMXLightDataset(df, cfg, "val")
+        assert ds.item_spec is not None and "vid" in ds.item_spec
+        fast = list(Loader(ds, 2, num_workers=1, process_index=0,
+                           process_count=1))
+
+        class NoFill:
+            """Same dataset through the generic path."""
+            def __len__(self):
+                return len(ds)
+
+            def __getitem__(self, i):
+                return ds[i]
+
+        slow = list(Loader(NoFill(), 2, num_workers=1, process_index=0,
+                           process_count=1))
+        assert len(fast) == len(slow) == 2
+        for a, b in zip(fast, slow):
+            np.testing.assert_array_equal(a["vid"], b["vid"])
+            np.testing.assert_array_equal(a["label"], b["label"])
