@@ -645,7 +645,15 @@ def _watchdog_main(warm_timeout_s: int = 2400,
 
 if __name__ == "__main__":
     if "--all" in sys.argv:
-        detail = {"north_star": None, "configs": run_all()}
+        # preserve hand-curated top-level keys (e.g. round comparisons)
+        detail = {}
+        try:
+            with open("BENCH_DETAIL.json") as f:
+                detail = {k: v for k, v in json.load(f).items()
+                          if k not in ("north_star", "configs")}
+        except (OSError, ValueError):
+            pass
+        detail = {"north_star": None, "configs": run_all(), **detail}
         try:
             detail["north_star"] = run_bench()
         except Exception as e:  # noqa: BLE001
