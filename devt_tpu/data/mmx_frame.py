@@ -149,22 +149,23 @@ class _FrameClipPacker:
                 idxs = [min(k, n - 1) for k in range(self.frame_len)]
             erase = train and not cycle
             if self.vid_u8:
+                # decode straight into the slot (native out= contract)
                 frames, status = self.native.load_batch_u8(
-                    [frame_paths[fi] for fi in idxs], 120, 112)
+                    [frame_paths[fi] for fi in idxs], 120, 112,
+                    out=vid[slot])
                 if np.any(status):
                     # failed decodes: mean-fill (≈0 after device norm),
                     # matching the f32 wire's zero-fill fault tolerance
                     frames[status != 0] = self._u8_fill
                 if erase:
                     transforms.random_erasing_clip_u8(frames, rng)
-                vid[slot] = frames
             elif self.native is not None:
                 frames, _ = self.native.load_batch_f32(
                     [frame_paths[fi] for fi in idxs], 120, 112,
-                    transforms.KINETICS_MEAN, transforms.KINETICS_STD)
+                    transforms.KINETICS_MEAN, transforms.KINETICS_STD,
+                    out=vid[slot])
                 if erase:
                     transforms.random_erasing_clip(frames, rng)
-                vid[slot] = frames
             else:
                 for k, fi in enumerate(idxs):
                     vid[slot, k] = transforms.clip_frame_transform(
@@ -267,6 +268,46 @@ class _WholeClipPacker:
             for p in paths])
         return {"vid": vid, "label": label}
 
+    def item_spec(self) -> dict:
+        """Loader fill-into contract (data/pipeline.py)."""
+        t, g = self.frame_len, self.CROP // self.PATCH
+        spec = {"label": ((19,), np.float32)}
+        if self.wire == "u8_tokens":
+            spec["vid_tokens"] = ((t, g * g, self.PATCH * self.PATCH * 3),
+                                  np.uint8)
+        else:
+            spec["vid"] = ((t, self.CROP, self.CROP, 3),
+                           np.uint8 if self.wire == "u8" else np.float32)
+        return spec
+
+    def sample_into(self, frame_paths: list[str], label: np.ndarray,
+                    rng: random.Random, out: dict) -> None:
+        """Like :meth:`sample` but the native decoder writes the clip
+        STRAIGHT into the batch slot — zero intermediate copies from
+        JPEG/PNG bytes to the wire buffer."""
+        out["label"][...] = label
+        if not frame_paths or self.native is None:
+            for k, v in self.sample(frame_paths, label, rng).items():
+                out[k][...] = v
+            return
+        paths = self._clip_paths(frame_paths, rng)
+        if self.wire == "u8_tokens":
+            tok, status = self.native.load_batch_u8_patches(
+                paths, self.RESIZE, self.CROP, self.PATCH,
+                out=out["vid_tokens"])
+            if np.any(status):
+                tok[status != 0] = np.tile(
+                    self._u8_fill, self.PATCH * self.PATCH)
+        elif self.wire == "u8":
+            pix, status = self.native.load_batch_u8(
+                paths, self.RESIZE, self.CROP, out=out["vid"])
+            if np.any(status):
+                pix[status != 0] = self._u8_fill
+        else:
+            self.native.load_batch_f32(
+                paths, self.RESIZE, self.CROP, transforms.KINETICS_MEAN,
+                transforms.KINETICS_STD, out=out["vid"])
+
 
 class MMXFrameDataset:
     """Pickle-manifest variant (MMX_Frame_dl.py:53-164)."""
@@ -305,36 +346,43 @@ class MMXFrameDataset:
                                    cycle=False)
             slot += 1
 
+    def _whole_clip_frames(self, scenes) -> list:
+        frames = []
+        for scene in scenes.values():
+            for key in (0, "000", "0"):
+                try:
+                    frames.extend(scene[key])
+                    break
+                except (KeyError, TypeError, IndexError):
+                    continue
+        return frames
+
     @property
     def item_spec(self):
-        """Loader fill-into contract; None (generic path) for the
-        whole-clip/vivit packer."""
-        return None if self.whole_clip else self.packer.item_spec()
+        """Loader fill-into contract (data/pipeline.py)."""
+        return self.packer.item_spec()
 
     def getitem_into(self, idx: int, out: dict) -> None:
         rng = self._rng(idx)
-        self.packer.init_into(out)
-        self._pack_scenes(self.df.at[idx, "scenes"], out.get("img"),
-                          out.get("vid"), rng)
-        out["label"][...] = np.asarray(
+        label = np.asarray(
             collect_labels_19(self.df.at[idx, "label"]), np.float32)
+        scenes = self.df.at[idx, "scenes"]
+        if self.whole_clip:
+            self.packer.sample_into(self._whole_clip_frames(scenes),
+                                    label, rng, out)
+            return
+        self.packer.init_into(out)
+        self._pack_scenes(scenes, out.get("img"), out.get("vid"), rng)
+        out["label"][...] = label
 
     def __getitem__(self, idx: int):
         rng = self._rng(idx)
         label = self.df.at[idx, "label"]
         scenes = self.df.at[idx, "scenes"]
         if self.whole_clip:
-            frames = []
-            for scene in scenes.values():
-                for key in (0, "000", "0"):
-                    try:
-                        frames.extend(scene[key])
-                        break
-                    except (KeyError, TypeError, IndexError):
-                        continue
             return self.packer.sample(
-                frames, np.asarray(collect_labels_19(label), np.float32),
-                rng)
+                self._whole_clip_frames(scenes),
+                np.asarray(collect_labels_19(label), np.float32), rng)
         img, vid = self.packer.empty()
         self._pack_scenes(scenes, img, vid, rng)
         return self.packer.sample_dict(
@@ -377,15 +425,25 @@ class MMXLightDataset:
             frames = frame_lists[slot % len(scenes)]
             self.packer.pack_scene(img, vid, slot, frames, rng, cycle=True)
 
+    def _whole_clip_frames(self, scenes) -> list:
+        frames = []
+        for s in scenes:
+            frames.extend(sorted(glob.glob(os.path.join(s, "*.png")))
+                          or sorted(glob.glob(os.path.join(s, "*"))))
+        return frames
+
     @property
     def item_spec(self):
-        """Loader fill-into contract; None (generic path) for the
-        whole-clip/vivit packer."""
-        return None if self.whole_clip else self.packer.item_spec()
+        """Loader fill-into contract (data/pipeline.py)."""
+        return self.packer.item_spec()
 
     def getitem_into(self, idx: int, out: dict) -> None:
         rng = self._rng(idx)
         target, scenes = self._row_target_scenes(idx)
+        if self.whole_clip:
+            self.packer.sample_into(self._whole_clip_frames(scenes),
+                                    target, rng, out)
+            return
         self.packer.init_into(out)
         self._pack_scenes(scenes, out.get("img"), out.get("vid"), rng)
         out["label"][...] = target
@@ -394,11 +452,8 @@ class MMXLightDataset:
         rng = self._rng(idx)
         target, scenes = self._row_target_scenes(idx)
         if self.whole_clip:
-            frames = []
-            for s in scenes:
-                frames.extend(sorted(glob.glob(os.path.join(s, "*.png")))
-                              or sorted(glob.glob(os.path.join(s, "*"))))
-            return self.packer.sample(frames, target, rng)
+            return self.packer.sample(self._whole_clip_frames(scenes),
+                                      target, rng)
         img, vid = self.packer.empty()
         self._pack_scenes(scenes, img, vid, rng)
         return self.packer.sample_dict(target, img, vid)

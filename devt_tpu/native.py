@@ -120,9 +120,25 @@ def load_image_f32(path: str, resize: int, crop: int,
     return out if rc == 0 else None
 
 
+def _out_buffer(out: np.ndarray | None, shape: tuple, dtype) -> np.ndarray:
+    """Caller-provided decode target (e.g. a batch slot view — the
+    Loader fill-into contract, data/pipeline.py): the C++ decoder then
+    writes the wire bytes STRAIGHT into their final batch position, no
+    intermediate sample buffer.  Must be C-contiguous and exact-shaped;
+    zero-initialised here because the decoder leaves failed slots
+    untouched beyond its own zero-fill contract."""
+    if out is None:
+        return np.zeros(shape, dtype)
+    assert out.shape == shape and out.dtype == np.dtype(dtype), \
+        (out.shape, out.dtype, shape, dtype)
+    assert out.flags["C_CONTIGUOUS"], "out must be C-contiguous"
+    out[...] = 0
+    return out
+
+
 def load_batch_f32(paths: Sequence[str], resize: int, crop: int,
                    mean: Sequence[float], std: Sequence[float],
-                   nthreads: int | None = None
+                   nthreads: int | None = None, out: np.ndarray | None = None
                    ) -> tuple[np.ndarray, np.ndarray]:
     """Threaded batch load → ((N, crop, crop, 3) f32, (N,) status int32).
 
@@ -136,7 +152,7 @@ def load_batch_f32(paths: Sequence[str], resize: int, crop: int,
     lib = _load()
     assert lib is not None, "native library unavailable"
     n = len(paths)
-    out = np.zeros((n, crop, crop, 3), np.float32)
+    out = _out_buffer(out, (n, crop, crop, 3), np.float32)
     status = np.zeros((n,), np.int32)
     mean = np.ascontiguousarray(mean, np.float32)
     std = np.ascontiguousarray(std, np.float32)
@@ -149,7 +165,7 @@ def load_batch_f32(paths: Sequence[str], resize: int, crop: int,
 
 
 def load_batch_u8(paths: Sequence[str], resize: int, crop: int,
-                  nthreads: int | None = None
+                  nthreads: int | None = None, out: np.ndarray | None = None
                   ) -> tuple[np.ndarray, np.ndarray]:
     """Threaded batch load, u8 wire format → ((N, crop, crop, 3) u8,
     (N,) status int32).
@@ -164,7 +180,7 @@ def load_batch_u8(paths: Sequence[str], resize: int, crop: int,
     lib = _load()
     assert lib is not None, "native library unavailable"
     n = len(paths)
-    out = np.zeros((n, crop, crop, 3), np.uint8)
+    out = _out_buffer(out, (n, crop, crop, 3), np.uint8)
     status = np.zeros((n,), np.int32)
     c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
     lib.devt_load_batch_u8(c_paths, n, resize, crop,
@@ -176,7 +192,8 @@ def load_batch_u8(paths: Sequence[str], resize: int, crop: int,
 
 
 def load_batch_u8_patches(paths: Sequence[str], resize: int, crop: int,
-                          patch: int, nthreads: int | None = None
+                          patch: int, nthreads: int | None = None,
+                          out: np.ndarray | None = None
                           ) -> tuple[np.ndarray, np.ndarray]:
     """Threaded batch load, pre-patchified u8 wire →
     ((N, (crop/patch)**2, patch*patch*3) u8 tokens, (N,) status int32).
@@ -193,7 +210,7 @@ def load_batch_u8_patches(paths: Sequence[str], resize: int, crop: int,
     assert crop % patch == 0, (crop, patch)
     n = len(paths)
     g = crop // patch
-    out = np.zeros((n, g * g, patch * patch * 3), np.uint8)
+    out = _out_buffer(out, (n, g * g, patch * patch * 3), np.uint8)
     status = np.zeros((n,), np.int32)
     c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
     rc = lib.devt_load_batch_u8_patches(

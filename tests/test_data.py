@@ -503,11 +503,13 @@ def test_frame_dataset_fill_into_matches_getitem(tmp_path):
                                               frames_per_scene=3, size=96)
     df, _ = manifests.load_csv_manifest(csv_path, shuffle_seed=0,
                                         train_rows=4, val_rows=0)
-    for wire in ("u8", "f32"):
-        cfg = Config(model="vid", batch_size=2, seq_len=2, frame_len=3,
+    for model, wire in (("vid", "u8"), ("vid", "f32"), ("vivit", "u8"),
+                        ("vivit", "f32"), ("vivit", "u8_tokens")):
+        cfg = Config(model=model, batch_size=2, seq_len=2, frame_len=3,
                      n_classes=19, wire_format=wire)
         ds = MMXLightDataset(df, cfg, "val")
-        assert ds.item_spec is not None and "vid" in ds.item_spec
+        key = "vid_tokens" if wire == "u8_tokens" else "vid"
+        assert ds.item_spec is not None and key in ds.item_spec
         fast = list(Loader(ds, 2, num_workers=1, process_index=0,
                            process_count=1))
 
@@ -523,5 +525,5 @@ def test_frame_dataset_fill_into_matches_getitem(tmp_path):
                            process_count=1))
         assert len(fast) == len(slow) == 2
         for a, b in zip(fast, slow):
-            np.testing.assert_array_equal(a["vid"], b["vid"])
+            np.testing.assert_array_equal(a[key], b[key])
             np.testing.assert_array_equal(a["label"], b["label"])
