@@ -119,6 +119,42 @@ class Predictor:
         return cls(config, variables, **kw)
 
     # ------------------------------------------------------------------
+    def export(self, path: str, batch_size: int | None = None,
+               platforms: Sequence[str] | None = None) -> None:
+        """AOT-export the forward as a serialized StableHLO artifact.
+
+        The reference has no deployment-artifact story (its serving is
+        ``trainer.test`` inside the training venv); this is the TPU-native
+        one: ``jax.export`` lowers the jitted forward — parameters baked
+        in as constants — to a single self-contained blob that
+        :func:`load_exported` (or any StableHLO runtime) executes WITHOUT
+        the model code, flax, or the checkpoint tree.
+
+        ``platforms`` (e.g. ``("tpu", "cpu")``) requests cross-platform
+        lowering; the default is the current backend.  Portable artifacts
+        should be exported from ``attention_impl="xla"`` configs — a
+        ``pallas_call`` lowers for the platform it was traced on only.
+        ``batch_size`` defaults to the largest serving bucket; callers pad
+        requests to it exactly like :meth:`predict` does.
+        """
+        from jax import export as jexport
+
+        from devt_tpu.registry import example_batch
+
+        b = batch_size or self.buckets[-1]
+        example = {k: jnp.asarray(v)
+                   for k, v in example_batch(self.config,
+                                             batch_size=b).items()
+                   if k != "label"}
+        variables = self.variables
+        fwd = self._forward
+
+        exported = jexport.export(
+            jax.jit(lambda batch: fwd(variables, batch)),
+            platforms=platforms)(example)
+        with open(path, "wb") as f:
+            f.write(exported.serialize())
+
     def _bucket(self, n: int) -> int:
         for b in self.buckets:
             if n <= b:
@@ -144,3 +180,17 @@ class Predictor:
                    if s > self.threshold and i < len(self.target_names)]
                   for row in scores]
         return {"scores": scores, "labels": labels}
+
+
+def load_exported(path: str):
+    """Load an artifact written by :meth:`Predictor.export`.
+
+    Returns a callable taking the model-keyed batch dict (already padded
+    to the exported batch size) and returning the score array — no model
+    code or checkpoint needed.
+    """
+    from jax import export as jexport
+
+    with open(path, "rb") as f:
+        exported = jexport.deserialize(bytearray(f.read()))
+    return exported.call

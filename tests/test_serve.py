@@ -88,3 +88,21 @@ def test_predict_uint8_wire_format():
     f32 = (u8.astype(np.float32) / 255.0 - KINETICS_MEAN) / KINETICS_STD
     s_f32 = pred.predict({"vid": f32.astype(np.float32)})["scores"]
     np.testing.assert_allclose(s_u8, s_f32, rtol=2e-4, atol=2e-4)
+
+
+def test_export_aot_roundtrip(tmp_path):
+    """jax.export artifact: params baked in, runs without the model code
+    and reproduces the live predictor's scores."""
+    from devt_tpu.serve import load_exported
+
+    pred = _predictor()
+    path = str(tmp_path / "ptn.stablehlo")
+    pred.export(path, batch_size=4)
+    assert (tmp_path / "ptn.stablehlo").stat().st_size > 0
+
+    call = load_exported(path)
+    rng = np.random.default_rng(7)
+    batch = {"experts": rng.standard_normal((4, 3, 2, 32)).astype(np.float32)}
+    live = pred.predict(batch)["scores"]
+    aot = np.asarray(call(batch))
+    np.testing.assert_allclose(aot, live, atol=1e-6, rtol=1e-6)
