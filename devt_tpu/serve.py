@@ -37,12 +37,21 @@ class Predictor:
 
     def __init__(self, config: Config, variables: Mapping[str, Any],
                  buckets: Sequence[int] = (1, 8, 32),
-                 threshold: float = 0.3):
+                 threshold: float = 0.3, mesh=None):
         self.config = config
         self.model = build_model(config)
         self.variables = dict(variables)
-        self.buckets = sorted(buckets)
         self.threshold = threshold
+        self.mesh = mesh
+        if mesh is not None:
+            # data-parallel serving: requests shard over the mesh's data
+            # axis (weights replicated), so one Predictor saturates every
+            # chip of a slice — each bucket must divide evenly
+            from devt_tpu.parallel.mesh import DATA_AXIS
+            n = mesh.shape[DATA_AXIS]
+            self.buckets = sorted({-(-b // n) * n for b in buckets})
+        else:
+            self.buckets = sorted(buckets)
         self.target_names = (MMX_GENRES_19 if config.n_classes == 19
                              else MMX_GENRES_15)
 
@@ -77,7 +86,18 @@ class Predictor:
                                   vid=batch.get("vid"))["logits"]
             return jax.nn.sigmoid(out)
 
-        self._forward = jax.jit(forward)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from devt_tpu.parallel.mesh import DATA_AXIS
+
+            rep = NamedSharding(mesh, P())
+            self._forward = jax.jit(
+                forward,
+                in_shardings=(rep, NamedSharding(mesh, P(DATA_AXIS))),
+                out_shardings=rep)
+        else:
+            self._forward = jax.jit(forward)
 
     @classmethod
     def from_checkpoint(cls, config: Config, ckpt_path: str,

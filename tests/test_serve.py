@@ -106,3 +106,32 @@ def test_export_aot_roundtrip(tmp_path):
     live = pred.predict(batch)["scores"]
     aot = np.asarray(call(batch))
     np.testing.assert_allclose(aot, live, atol=1e-6, rtol=1e-6)
+
+
+def test_mesh_sharded_serving_matches_single_device():
+    """DP-mesh Predictor: requests shard over the data axis (weights
+    replicated) and scores equal the single-device predictor's."""
+    from jax.sharding import Mesh
+
+    devs = jax.devices()
+    if len(devs) < 8:
+        import pytest
+        pytest.skip("needs the virtual 8-device mesh")
+    from devt_tpu.parallel.mesh import make_mesh
+
+    cfg = _tiny_cfg()
+    from devt_tpu.registry import build_model
+    model = build_model(cfg)
+    x0 = np.zeros((1, 3, 2, 32), np.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jax.numpy.asarray(x0))
+    mesh = make_mesh(dp=8, mp=1, devices=devs[:8])
+    plain = Predictor(cfg, variables, buckets=(1, 4))
+    sharded = Predictor(cfg, variables, buckets=(1, 4), mesh=mesh)
+    assert sharded.buckets == [8]  # rounded up to divide the data axis
+
+    rng = np.random.default_rng(3)
+    batch = {"experts": rng.standard_normal((11, 3, 2, 32)).astype(np.float32)}
+    s_plain = plain.predict(batch)["scores"]
+    s_mesh = sharded.predict(batch)["scores"]
+    np.testing.assert_allclose(s_mesh, s_plain, atol=2e-5, rtol=2e-4)
