@@ -248,3 +248,30 @@ def test_contrastive_overfits_and_probe_learns():
     probe.eval_batch(p_aux, buffers)
     labels, probs = buffers.concatenated()
     np.testing.assert_array_equal((probs > 0.5).astype(np.float32), labels)
+
+
+def test_moe_vivit_overfits_single_label():
+    """MoE-ViViT (switch FFN + router aux in the objective) must still
+    memorize a tiny set — routing/dispatch and the aux loss must not
+    break the gradient path (parallel/moe.py, models/layers.MoEViTBlock)."""
+    from devt_tpu.models.vivit import ViViT
+
+    cfg = Config(model="vivit", batch_size=8, n_classes=5, dropout=0.0,
+                 learning_rate=1e-3, opt="adamW", precision="f32",
+                 moe_experts=2, moe_every=1, moe_aux_weight=0.01)
+    model = ViViT(image_size=32, patch_size=16, num_classes=5,
+                  num_frames=2, dim=32, depth=2, heads=2, dim_head=16,
+                  channels_last=True, attention_impl="xla",
+                  moe_experts=2, moe_every=1)
+    rng = np.random.default_rng(5)
+    batch = {"vid": rng.standard_normal((8, 2, 32, 32, 3),
+                                        dtype=np.float32),
+             "label": rng.integers(0, 5, (8,))}
+    variables = model.init(RNGS, jnp.asarray(batch["vid"]))
+    state, first, last = _fit(model, cfg, variables, batch, steps=300)
+    assert last < 0.1, f"CE(+aux) did not collapse: {first} -> {last}"
+    assert last < 0.2 * first
+    logits = model.apply({"params": state.params},
+                         jnp.asarray(batch["vid"]), deterministic=True)
+    top1 = (np.asarray(logits).argmax(-1) == batch["label"]).mean()
+    assert top1 == 1.0
