@@ -11,6 +11,8 @@ parallelism the framework ships (SCALING.md):
   * SP   — a pre-norm ViT layer sequence-parallel via a kv ring
   * PP   — GPipe fill/drain over a `pipe` axis
   * EP   — switch-MoE FFN with all_to_all expert dispatch
+  * TP (shard_map) — a Megatron-split ViT block where every device runs
+           the fused Pallas MHA kernel on its local heads
 
 On a real TPU slice, delete the CPU-provisioning lines and the same code
 runs over ICI; `python -m devt_tpu.main --dp -1 --mp 2` (or
@@ -33,4 +35,4 @@ if __name__ == "__main__":
     from __graft_entry__ import dryrun_multichip
 
     dryrun_multichip(8)
-    print("all six parallelism legs ran one fwd+bwd step — see SCALING.md")
+    print("all seven parallelism legs ran one fwd+bwd step — see SCALING.md")

@@ -135,3 +135,19 @@ def test_mesh_sharded_serving_matches_single_device():
     s_plain = plain.predict(batch)["scores"]
     s_mesh = sharded.predict(batch)["scores"]
     np.testing.assert_allclose(s_mesh, s_plain, atol=2e-5, rtol=2e-4)
+
+
+def test_export_cross_platform(tmp_path):
+    """platforms=("cpu","tpu"): a CPU box produces one artifact servable
+    on either backend (lowering embeds both platforms)."""
+    from jax import export as jexport
+
+    pred = _predictor()
+    path = str(tmp_path / "xplat.stablehlo")
+    pred.export(path, batch_size=1, platforms=("cpu", "tpu"))
+    with open(path, "rb") as f:
+        exp = jexport.deserialize(bytearray(f.read()))
+    assert exp.platforms == ("cpu", "tpu")
+    out = np.asarray(exp.call(
+        {"experts": np.zeros((1, 3, 2, 32), np.float32)}))
+    assert out.shape == (1, 15) and np.isfinite(out).all()
