@@ -130,10 +130,17 @@ def _tp_block_local(x, rep, shard_local, *, heads_local: int, scale: float,
 def tp_vit_block_sharded(x, rep, shard, mesh: Mesh, *, heads: int,
                          scale: float | None = None,
                          kv_len: int | None = None, axis: str = TP_AXIS,
+                         batch_axis: str | None = None,
                          interpret: bool = False):
     """Tensor-parallel block on pre-split params (the training layout:
     ``shard`` stays device-resident across steps; grads via ``jax.grad``
-    come back stacked the same way)."""
+    come back stacked the same way).
+
+    ``batch_axis`` composes DP×TP on a 2-axis mesh: the batch shards
+    over it while heads/FFN shard over ``axis`` — each device runs the
+    fused kernel on its (B/dp, S, local-heads) tile, and the psums still
+    ride only the model axis.
+    """
     n = mesh.shape[axis]
     b, s, dim = x.shape
     assert heads % n == 0, (heads, n)
@@ -145,13 +152,15 @@ def tp_vit_block_sharded(x, rep, shard, mesh: Mesh, *, heads: int,
         axis_name=axis, interpret=interpret)
     rep_spec = jax.tree_util.tree_map(lambda _: P(), rep)
     shard_spec = jax.tree_util.tree_map(lambda _: P(axis), shard)
+    x_spec = P(batch_axis) if batch_axis else P()
     # check_vma=False: the body calls pallas_call kernels, which carry no
     # varying-mesh-axes annotation (same waiver as the shard_map DP step,
     # parallel/train_step.py); the psums above make the output genuinely
-    # replicated, and the grad-parity test verifies the transposes
+    # replicated over the model axis, and the grad-parity tests verify
+    # the transposes
     mapped = jax.shard_map(body, mesh=mesh,
-                           in_specs=(P(), rep_spec, shard_spec),
-                           out_specs=P(), check_vma=False)
+                           in_specs=(x_spec, rep_spec, shard_spec),
+                           out_specs=x_spec, check_vma=False)
     return mapped(x, rep, shard)
 
 

@@ -125,3 +125,44 @@ def test_tp_train_steps_stay_sharded():
     assert all(b < a for a, b in zip(losses, losses[1:])), losses
     assert losses[-1] < losses[0] * 0.97, losses
     assert shard["wqkv"].shape[0] == 8  # still the stacked TP layout
+
+
+def test_dp_tp_composition_matches_reference():
+    """(data=2, model=4) mesh: batch shards over data, heads/FFN over
+    model; fwd output and ALL grads equal the single-device block on the
+    full batch (the data-axis psum in the shard_map transpose + the
+    model-axis psums compose exactly)."""
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs the virtual 8-device mesh")
+    x, params = _make(seed=3)
+    mesh = Mesh(np.asarray(devs[:8]).reshape(2, 4), ("data", "model"))
+    rep, shard = tp_shard_block_params(params, 4)
+    kv_len = 13
+
+    def loss_ref(x, p):
+        return jnp.sum(jnp.sin(
+            reference_vit_block(x, p, HEADS, SCALE, kv_len)))
+
+    def loss_tp(x, rep, shard):
+        return jnp.sum(jnp.sin(tp_vit_block_sharded(
+            x, rep, shard, mesh, heads=HEADS, scale=SCALE, kv_len=kv_len,
+            batch_axis="data", interpret=True)))
+
+    out = tp_vit_block_sharded(x, rep, shard, mesh, heads=HEADS,
+                               scale=SCALE, kv_len=kv_len,
+                               batch_axis="data", interpret=True)
+    ref = reference_vit_block(x, params, HEADS, SCALE, kv_len)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-4)
+
+    dx_r, dp_r = jax.grad(loss_ref, argnums=(0, 1))(x, params)
+    dx_t, drep, dshard = jax.grad(loss_tp, argnums=(0, 1, 2))(
+        x, rep, shard)
+    dp_t = tp_unshard_block_params(drep, dshard)
+    np.testing.assert_allclose(np.asarray(dx_t), np.asarray(dx_r),
+                               atol=5e-5, rtol=5e-4)
+    for k in dp_r:
+        np.testing.assert_allclose(
+            np.asarray(dp_t[k]).reshape(np.asarray(dp_r[k]).shape),
+            np.asarray(dp_r[k]), atol=5e-5, rtol=5e-4, err_msg=k)
