@@ -28,3 +28,14 @@ if __name__ == "__main__":
         (3, 4, 2, 64)).astype(np.float32)
     out = pred.predict({"experts": x})
     print("scores", out["scores"].shape, "labels:", out["labels"][0])
+
+    # AOT deployment artifact: one self-contained StableHLO blob (params
+    # baked in) that runs without model code, flax, or the checkpoint —
+    # platforms=("cpu", "tpu") makes it servable on either backend
+    from devt_tpu.serve import load_exported
+
+    pred.export("/tmp/devt_example_serve/model.stablehlo", batch_size=4)
+    call = load_exported("/tmp/devt_example_serve/model.stablehlo")
+    aot = np.asarray(call({"experts": np.concatenate([x, x[:1]])}))
+    assert np.allclose(aot[:3], out["scores"], atol=1e-5)
+    print("AOT artifact reproduces the live scores")
