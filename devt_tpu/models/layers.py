@@ -207,24 +207,67 @@ class ViTBlock(nn.Module):
         from devt_tpu.ops.attention import _auto_pallas_ok
         return _auto_pallas_ok()
 
+    def _tp_eligible(self, x, deterministic, mesh) -> bool:
+        """Megatron shard_map path under a TP mesh (tp_pallas_scope):
+        heads and the FFN hidden must split over the model axis, and the
+        shard_map block has no in-kernel dropout — training dropout
+        stays on the unfused GSPMD path."""
+        if self.attention_impl == "xla":
+            return False
+        if self.dropout > 0.0 and not deterministic:
+            return False
+        if self.heads * self.dim_head != self.dim:
+            return False
+        if self.heads == 1 and self.dim_head == self.dim:
+            return False
+        from devt_tpu.parallel.mesh import MODEL_AXIS
+        mp = dict(mesh.shape).get(MODEL_AXIS, 1)
+        if mp <= 1 or self.heads % mp or self.mlp_dim % mp:
+            return False
+        from devt_tpu.ops.flash_attention import fits_single_block
+        return fits_single_block(x.shape[1])
+
+    def _block_params(self, cast):
+        g1, b1 = _LNParams(self.dim, name="attn_norm")()
+        wqkv, wo, bo = _AttnParams(self.dim, self.heads * self.dim_head,
+                                   name="attn")()
+        g2, b2 = _LNParams(self.dim, name="ff_norm")()
+        w1, bb1, w2, bb2 = _FFParams(self.dim, self.mlp_dim, name="ff")()
+        return {
+            "g1": g1.reshape(1, -1), "b1": b1.reshape(1, -1),
+            "wqkv": wqkv.astype(cast), "wo": wo.astype(cast),
+            "bo": bo.reshape(1, -1),
+            "g2": g2.reshape(1, -1), "b2": b2.reshape(1, -1),
+            "w1": w1.astype(cast), "bb1": bb1.reshape(1, -1),
+            "w2": w2.astype(cast), "bb2": bb2.reshape(1, -1),
+        }
+
     @nn.compact
     def __call__(self, x, deterministic: bool = True,
                  kv_len: int | None = None):
+        from devt_tpu.ops.attention import active_tp_mesh
+
+        tpm = active_tp_mesh()
+        if tpm is not None and self._tp_eligible(x, deterministic, tpm):
+            import jax as _jax
+
+            from devt_tpu.parallel import tp_block
+            from devt_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+            params = self._block_params(self.dtype)
+            shape = dict(tpm.shape)
+            dp = shape.get(DATA_AXIS, 1)
+            batch_axis = DATA_AXIS if dp > 1 and x.shape[0] % dp == 0 \
+                else None
+            return tp_block.tp_vit_block(
+                x.astype(self.dtype), params, tpm, heads=self.heads,
+                scale=self.dim_head ** -0.5,
+                kv_len=kv_len if kv_len is not None else x.shape[1],
+                axis=MODEL_AXIS, batch_axis=batch_axis,
+                interpret=_jax.default_backend() != "tpu")
         if self._fused_eligible(x, deterministic):
-            g1, b1 = _LNParams(self.dim, name="attn_norm")()
-            wqkv, wo, bo = _AttnParams(self.dim, self.heads * self.dim_head,
-                                       name="attn")()
-            g2, b2 = _LNParams(self.dim, name="ff_norm")()
-            w1, bb1, w2, bb2 = _FFParams(self.dim, self.mlp_dim, name="ff")()
             cast = self.dtype
-            params = {
-                "g1": g1.reshape(1, -1), "b1": b1.reshape(1, -1),
-                "wqkv": wqkv.astype(cast), "wo": wo.astype(cast),
-                "bo": bo.reshape(1, -1),
-                "g2": g2.reshape(1, -1), "b2": b2.reshape(1, -1),
-                "w1": w1.astype(cast), "bb1": bb1.reshape(1, -1),
-                "w2": w2.astype(cast), "bb2": bb2.reshape(1, -1),
-            }
+            params = self._block_params(cast)
             train_dropout = self.dropout > 0.0 and not deterministic
             return fused_vit_block(
                 x.astype(cast), params, self.heads,

@@ -61,6 +61,30 @@ def pallas_disabled():
         _gate.depth = depth
 
 
+@contextlib.contextmanager
+def tp_pallas_scope(mesh):
+    """Trace-time context: ViT blocks under a GSPMD tensor-parallel trace
+    route through the explicit Megatron shard_map block
+    (parallel/tp_block.py), so the fused packed-qkv Pallas MHA kernel
+    runs per device on that device's LOCAL heads instead of falling back
+    to the jnp tier.  Set by the gspmd train/eval step factories
+    (parallel/train_step.py) around their trace when the mesh has a >1
+    model axis; read by ``models/layers.ViTBlock``.  Re-entrant,
+    thread-local, scope-bounded — same discipline as
+    :func:`pallas_disabled`."""
+    prev = getattr(_gate, "tp_mesh", None)
+    _gate.tp_mesh = mesh
+    try:
+        yield
+    finally:
+        _gate.tp_mesh = prev
+
+
+def active_tp_mesh():
+    """The mesh set by :func:`tp_pallas_scope`, or None."""
+    return getattr(_gate, "tp_mesh", None)
+
+
 def _auto_pallas_ok() -> bool:
     """``"auto"`` → Pallas on TPU, unless tracing under
     ``pallas_disabled()`` (a GSPMD body whose operands may be sharded).

@@ -166,10 +166,15 @@ def tp_vit_block_sharded(x, rep, shard, mesh: Mesh, *, heads: int,
 
 def tp_vit_block(x, params, mesh: Mesh, *, heads: int,
                  scale: float | None = None, kv_len: int | None = None,
-                 axis: str = TP_AXIS, interpret: bool = False):
-    """Convenience wrapper from the full single-device param dict
-    (splits every call — use :func:`tp_vit_block_sharded` in loops)."""
+                 axis: str = TP_AXIS, batch_axis: str | None = None,
+                 interpret: bool = False):
+    """Convenience wrapper from the full single-device param dict —
+    splits every call.  Inside a GSPMD trace (the trainer's TP path,
+    models/layers.ViTBlock under ``tp_pallas_scope``) the split lowers
+    to cheap slice/stack HLOs that GSPMD reshards once per step; for
+    hand-written loops prefer :func:`tp_vit_block_sharded`, which keeps
+    the stacked layout resident."""
     rep, shard = tp_shard_block_params(params, mesh.shape[axis])
     return tp_vit_block_sharded(x, rep, shard, mesh, heads=heads,
                                 scale=scale, kv_len=kv_len, axis=axis,
-                                interpret=interpret)
+                                batch_axis=batch_axis, interpret=interpret)

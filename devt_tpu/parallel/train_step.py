@@ -60,6 +60,24 @@ def _split_microbatches(batch, accum: int):
     return jax.tree_util.tree_map(split, batch)
 
 
+def _tp_scope_for(mesh, config: Config | None):
+    """Context factory for a gspmd trace: when the mesh has a >1 model
+    axis and attention is on ``"auto"``, ViT blocks route through the
+    Megatron shard_map block (parallel/tp_block.py) so the fused Pallas
+    MHA kernel stays hot per device — everything else still traces under
+    ``pallas_disabled()`` and shards via the GSPMD partition rules."""
+    import contextlib
+
+    from devt_tpu.ops.attention import tp_pallas_scope
+
+    tp_on = (mesh is not None
+             and dict(mesh.shape).get(MODEL_AXIS, 1) > 1
+             and (config is None or config.attention_impl == "auto"))
+    if tp_on:
+        return lambda: tp_pallas_scope(mesh)
+    return contextlib.nullcontext
+
+
 def mesh_strategy(mesh, config: Config | None = None) -> str:
     """Execution strategy for a mesh: ``single`` | ``dp_shard_map`` |
     ``gspmd``.  ``config.dp_mode`` can force ``gspmd`` for an mp==1 mesh
@@ -196,8 +214,10 @@ def make_train_step(model, config: Config, mesh=None) -> Callable:
                        donate_argnums=(0,))
     body = _make_step_body(model, config)
     if strategy == "gspmd":
+        tp_scope = _tp_scope_for(mesh, config)
+
         def traced(state, batch, rng):
-            with pallas_disabled():
+            with tp_scope(), pallas_disabled():
                 return body(state, batch, rng)
         return jax.jit(traced, donate_argnums=(0,))
     return jax.jit(body, donate_argnums=(0,))
@@ -239,8 +259,10 @@ def make_multi_step(model, config: Config, n_steps: int,
         return jax.jit(_shard_map_dp(multi_step, mesh, P(None, DATA_AXIS)),
                        donate_argnums=(0,))
     if strategy == "gspmd":
+        tp_scope = _tp_scope_for(mesh, config)
+
         def traced(state, batches, rng):
-            with pallas_disabled():
+            with tp_scope(), pallas_disabled():
                 return multi_step(state, batches, rng)
         return jax.jit(traced, donate_argnums=(0,))
     return jax.jit(multi_step, donate_argnums=(0,))
@@ -265,8 +287,10 @@ def make_eval_step(model, config: Config, mesh=None) -> Callable:
         return loss, aux
 
     if mesh is not None and mesh.size > 1:
+        tp_scope = _tp_scope_for(mesh, config)
+
         def traced(state, batch):
-            with pallas_disabled():
+            with tp_scope(), pallas_disabled():
                 return eval_step(state, batch)
         return jax.jit(traced)
     return jax.jit(eval_step)
