@@ -229,3 +229,52 @@ def test_trainer_tp_mesh_routes_vit_blocks_through_pallas_tp(monkeypatch):
         fresh_state(), batch, jax.random.PRNGKey(2))
     np.testing.assert_allclose(float(metrics["loss"]),
                                float(metrics_s["loss"]), rtol=2e-5)
+
+
+def test_trainer_tp_routes_flagship_width_mp3(monkeypatch):
+    """The flagship ViViT head layout (3 heads of 64) TP-routes at mp=3 —
+    the natural TP width for d=192 — on a (dp=2, mp=3) 6-device mesh."""
+    from devt_tpu.config import Config
+    from devt_tpu.models.vivit import ViViT
+    from devt_tpu.parallel import tp_block
+    from devt_tpu.parallel.mesh import make_mesh, shard_batch
+    from devt_tpu.parallel.sharding import shard_variables
+    from devt_tpu.parallel.train_step import make_train_step
+    from devt_tpu.train.optimizers import build_optimizer
+    from devt_tpu.train.state import TrainState
+
+    devs = jax.devices()
+    if len(devs) < 6:
+        pytest.skip("needs >= 6 virtual devices")
+
+    calls = []
+    real = tp_block.tp_vit_block
+
+    def spy(*a, **kw):
+        calls.append(a[2].shape["model"])
+        return real(*a, **kw)
+
+    monkeypatch.setattr(tp_block, "tp_vit_block", spy)
+
+    cfg = Config(model="vivit", batch_size=6, frame_len=2, n_classes=5,
+                 precision="f32", opt="adamW", learning_rate=1e-3,
+                 attention_impl="auto", dropout=0.0)
+    model = ViViT(image_size=64, patch_size=16, num_classes=5,
+                  num_frames=2, dim=192, depth=1, heads=3, dim_head=64,
+                  channels_last=True)
+    rng = np.random.default_rng(6)
+    batch = {"vid": rng.standard_normal((6, 2, 64, 64, 3),
+                                        dtype=np.float32),
+             "label": (rng.random((6, 5)) < 0.3).astype(np.float32)}
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.asarray(batch["vid"]))
+    state = TrainState.create(variables["params"], build_optimizer(cfg))
+    mesh = make_mesh(dp=2, mp=3, devices=devs[:6])
+    placed = shard_variables({"params": state.params}, mesh)
+    state = state.replace(params=placed["params"])
+    step = make_train_step(model, cfg, mesh=mesh)
+    state, metrics = step(state, shard_batch(batch, mesh),
+                          jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["loss"]))
+    assert calls == [3], calls  # one space block, split 3-way
