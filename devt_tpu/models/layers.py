@@ -209,12 +209,10 @@ class ViTBlock(nn.Module):
 
     def _tp_eligible(self, x, deterministic, mesh) -> bool:
         """Megatron shard_map path under a TP mesh (tp_pallas_scope):
-        heads and the FFN hidden must split over the model axis, and the
-        shard_map block has no in-kernel dropout — training dropout
-        stays on the unfused GSPMD path."""
+        heads and the FFN hidden must split over the model axis.
+        Training dropout is served in the shard_map body (the reference's
+        three block sites, sharded-site masks folded per device)."""
         if self.attention_impl == "xla":
-            return False
-        if self.dropout > 0.0 and not deterministic:
             return False
         if self.heads * self.dim_head != self.dim:
             return False
@@ -259,11 +257,15 @@ class ViTBlock(nn.Module):
             dp = shape.get(DATA_AXIS, 1)
             batch_axis = DATA_AXIS if dp > 1 and x.shape[0] % dp == 0 \
                 else None
+            train_dropout = self.dropout > 0.0 and not deterministic
             return tp_block.tp_vit_block(
                 x.astype(self.dtype), params, tpm, heads=self.heads,
                 scale=self.dim_head ** -0.5,
                 kv_len=kv_len if kv_len is not None else x.shape[1],
                 axis=MODEL_AXIS, batch_axis=batch_axis,
+                dropout_rate=self.dropout if train_dropout else 0.0,
+                dropout_rng=self.make_rng("dropout") if train_dropout
+                else None,
                 interpret=_jax.default_backend() != "tpu")
         if self._fused_eligible(x, deterministic):
             cast = self.dtype

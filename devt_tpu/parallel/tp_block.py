@@ -93,16 +93,33 @@ def tp_unshard_block_params(rep, shard):
     return out
 
 
-def _tp_block_local(x, rep, shard_local, *, heads_local: int, scale: float,
-                    kv_len: int, axis_name: str, interpret: bool):
+def _tp_block_local(x, rep, shard_local, seed, *, heads_local: int,
+                    scale: float, kv_len: int, axis_name: str,
+                    rate: float, interpret: bool):
     """One device's slice of the block — call INSIDE shard_map.
 
     x (B, S, D) replicated; ``shard_local`` carries this device's stage
     of the stacked tree (leading extent 1).  The attention core is the
     fused packed-qkv Pallas kernel on the local ``heads_local`` heads.
+
+    ``rate`` > 0 applies the reference's three block dropout sites
+    (attention out-projection, FFN hidden, FFN output —
+    src/models/vit.py:23,25,43): the out-proj and FFN-output masks are
+    drawn post-psum from the replicated ``seed`` (identical on every
+    device — the full-width tensors stay consistent), while the FFN
+    hidden mask folds in the device's model-axis index, since that
+    activation lives column-sharded.
     """
     w = jax.tree_util.tree_map(lambda t: t[0], shard_local)
     f32 = jnp.float32
+    if rate > 0.0:
+        base = jax.random.key(seed[0])
+        k1, k2, k3 = jax.random.split(base, 3)
+        k2 = jax.random.fold_in(k2, jax.lax.axis_index(axis_name))
+
+        def drop(k, t):
+            keep = jax.random.bernoulli(k, 1.0 - rate, t.shape)
+            return jnp.where(keep, t / (1.0 - rate), 0.0)
     x32 = x.astype(f32)
     a, _, _, _ = _ln(x32, rep["g1"].astype(f32), rep["b1"].astype(f32))
     qkv = jax.lax.dot_general(
@@ -113,17 +130,25 @@ def _tp_block_local(x, rep, shard_local, *, heads_local: int, scale: float,
     part = jax.lax.dot_general(
         att.astype(x.dtype), w["wo"].astype(x.dtype),
         (((2,), (0,)), ((), ())), preferred_element_type=f32)
-    u = x32 + jax.lax.psum(part, axis_name) + rep["bo"].astype(f32)
+    oproj = jax.lax.psum(part, axis_name) + rep["bo"].astype(f32)
+    if rate > 0.0:
+        oproj = drop(k1, oproj)
+    u = x32 + oproj
     h2, _, _, _ = _ln(u, rep["g2"].astype(f32), rep["b2"].astype(f32))
     z1 = jax.lax.dot_general(
         h2.astype(x.dtype), w["w1"].astype(x.dtype),
         (((2,), (0,)), ((), ())), preferred_element_type=f32) \
         + w["bb1"].astype(f32)
     h = _gelu(z1)
-    z2 = jax.lax.dot_general(
+    if rate > 0.0:
+        h = drop(k2, h)
+    z2 = jax.lax.psum(jax.lax.dot_general(
         h.astype(x.dtype), w["w2"].astype(x.dtype),
-        (((2,), (0,)), ((), ())), preferred_element_type=f32)
-    y = u + jax.lax.psum(z2, axis_name) + rep["bb2"].astype(f32)
+        (((2,), (0,)), ((), ())), preferred_element_type=f32), axis_name) \
+        + rep["bb2"].astype(f32)
+    if rate > 0.0:
+        z2 = drop(k3, z2)
+    y = u + z2
     return y.astype(x.dtype)
 
 
@@ -131,6 +156,7 @@ def tp_vit_block_sharded(x, rep, shard, mesh: Mesh, *, heads: int,
                          scale: float | None = None,
                          kv_len: int | None = None, axis: str = TP_AXIS,
                          batch_axis: str | None = None,
+                         dropout_rate: float = 0.0, dropout_rng=None,
                          interpret: bool = False):
     """Tensor-parallel block on pre-split params (the training layout:
     ``shard`` stays device-resident across steps; grads via ``jax.grad``
@@ -145,11 +171,18 @@ def tp_vit_block_sharded(x, rep, shard, mesh: Mesh, *, heads: int,
     b, s, dim = x.shape
     assert heads % n == 0, (heads, n)
     d = dim // heads
+    rate = float(dropout_rate)
+    if rate > 0.0:
+        assert dropout_rng is not None, "dropout_rate > 0 needs a rng"
+        seed = jax.random.randint(dropout_rng, (1,), 0, 2 ** 30,
+                                  dtype=jnp.int32)
+    else:
+        seed = jnp.zeros((1,), jnp.int32)
     body = functools.partial(
         _tp_block_local, heads_local=heads // n,
         scale=d ** -0.5 if scale is None else scale,
         kv_len=s if kv_len is None else kv_len,
-        axis_name=axis, interpret=interpret)
+        axis_name=axis, rate=rate, interpret=interpret)
     rep_spec = jax.tree_util.tree_map(lambda _: P(), rep)
     shard_spec = jax.tree_util.tree_map(lambda _: P(axis), shard)
     x_spec = P(batch_axis) if batch_axis else P()
@@ -159,14 +192,15 @@ def tp_vit_block_sharded(x, rep, shard, mesh: Mesh, *, heads: int,
     # replicated over the model axis, and the grad-parity tests verify
     # the transposes
     mapped = jax.shard_map(body, mesh=mesh,
-                           in_specs=(x_spec, rep_spec, shard_spec),
+                           in_specs=(x_spec, rep_spec, shard_spec, P()),
                            out_specs=x_spec, check_vma=False)
-    return mapped(x, rep, shard)
+    return mapped(x, rep, shard, seed)
 
 
 def tp_vit_block(x, params, mesh: Mesh, *, heads: int,
                  scale: float | None = None, kv_len: int | None = None,
                  axis: str = TP_AXIS, batch_axis: str | None = None,
+                 dropout_rate: float = 0.0, dropout_rng=None,
                  interpret: bool = False):
     """Convenience wrapper from the full single-device param dict —
     splits every call.  Inside a GSPMD trace (the trainer's TP path,
@@ -177,4 +211,7 @@ def tp_vit_block(x, params, mesh: Mesh, *, heads: int,
     rep, shard = tp_shard_block_params(params, mesh.shape[axis])
     return tp_vit_block_sharded(x, rep, shard, mesh, heads=heads,
                                 scale=scale, kv_len=kv_len, axis=axis,
-                                batch_axis=batch_axis, interpret=interpret)
+                                batch_axis=batch_axis,
+                                dropout_rate=dropout_rate,
+                                dropout_rng=dropout_rng,
+                                interpret=interpret)

@@ -278,3 +278,89 @@ def test_trainer_tp_routes_flagship_width_mp3(monkeypatch):
                           jax.random.PRNGKey(2))
     assert np.isfinite(float(metrics["loss"]))
     assert calls == [3], calls  # one space block, split 3-way
+
+
+def test_tp_block_dropout_semantics():
+    """Training dropout in the TP body: rate 0 ≡ deterministic; masks
+    vary with the rng; the mean over many draws recovers the
+    deterministic output (the three reference sites are unbiased)."""
+    x, params = _make(seed=9)
+    mesh = _mesh()
+    det = tp_vit_block(x, params, mesh, heads=HEADS, interpret=True)
+    zero = tp_vit_block(x, params, mesh, heads=HEADS, dropout_rate=0.0,
+                        interpret=True)
+    np.testing.assert_array_equal(np.asarray(det), np.asarray(zero))
+
+    k = jax.random.PRNGKey(0)
+    d1 = tp_vit_block(x, params, mesh, heads=HEADS, dropout_rate=0.4,
+                      dropout_rng=k, interpret=True)
+    d2 = tp_vit_block(x, params, mesh, heads=HEADS, dropout_rate=0.4,
+                      dropout_rng=jax.random.PRNGKey(1), interpret=True)
+    assert not np.allclose(np.asarray(d1), np.asarray(d2))
+    assert not np.allclose(np.asarray(d1), np.asarray(det))
+
+    rep, shard = tp_shard_block_params(params, 8)
+
+    @jax.jit
+    def one(key):
+        return tp_vit_block_sharded(x, rep, shard, mesh, heads=HEADS,
+                                    dropout_rate=0.4, dropout_rng=key,
+                                    interpret=True)
+
+    acc = np.zeros_like(np.asarray(det))
+    n = 192
+    for i in range(n):
+        acc += np.asarray(one(jax.random.PRNGKey(100 + i)))
+    mean = acc / n
+    # mean-field: loose tolerance, the three sites compound
+    err = np.abs(mean - np.asarray(det)).mean()
+    scale = np.abs(np.asarray(det)).mean()
+    assert err < 0.12 * scale, (err, scale)
+
+
+def test_trainer_tp_routes_dropout_training(monkeypatch):
+    """Dropout-training no longer falls back: the TP block serves the
+    three reference dropout sites inside the shard_map body."""
+    from devt_tpu.config import Config
+    from devt_tpu.models.vivit import ViViT
+    from devt_tpu.parallel import tp_block
+    from devt_tpu.parallel.mesh import make_mesh, shard_batch
+    from devt_tpu.parallel.sharding import shard_variables
+    from devt_tpu.parallel.train_step import make_train_step
+    from devt_tpu.train.optimizers import build_optimizer
+    from devt_tpu.train.state import TrainState
+
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs the virtual 8-device mesh")
+
+    rates = []
+    real = tp_block.tp_vit_block
+    monkeypatch.setattr(
+        tp_block, "tp_vit_block",
+        lambda *a, **kw: (rates.append(kw.get("dropout_rate", 0.0)),
+                          real(*a, **kw))[1])
+
+    cfg = Config(model="vivit", batch_size=8, frame_len=2, n_classes=7,
+                 precision="f32", opt="adamW", learning_rate=1e-3,
+                 attention_impl="auto", dropout=0.1)
+    model = ViViT(image_size=32, patch_size=16, num_classes=7,
+                  num_frames=2, dim=32, depth=1, heads=2, dim_head=16,
+                  dropout=0.1, channels_last=True)
+    rng = np.random.default_rng(8)
+    batch = {"vid": rng.standard_normal((8, 2, 32, 32, 3),
+                                        dtype=np.float32),
+             "label": (rng.random((8, 7)) < 0.3).astype(np.float32)}
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.asarray(batch["vid"]))
+    state = TrainState.create(variables["params"],
+                              build_optimizer(cfg))
+    mesh = make_mesh(dp=4, mp=2)
+    placed = shard_variables({"params": state.params}, mesh)
+    state = state.replace(params=placed["params"])
+    step = make_train_step(model, cfg, mesh=mesh)
+    state, metrics = step(state, shard_batch(batch, mesh),
+                          jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["loss"]))
+    assert 0.1 in rates, rates  # the space block routed WITH dropout
