@@ -95,7 +95,8 @@ def tp_unshard_block_params(rep, shard):
 
 def _tp_block_local(x, rep, shard_local, seed, *, heads_local: int,
                     scale: float, kv_len: int, axis_name: str,
-                    rate: float, interpret: bool):
+                    batch_axis_name: str | None, rate: float,
+                    interpret: bool):
     """One device's slice of the block — call INSIDE shard_map.
 
     x (B, S, D) replicated; ``shard_local`` carries this device's stage
@@ -114,6 +115,12 @@ def _tp_block_local(x, rep, shard_local, seed, *, heads_local: int,
     f32 = jnp.float32
     if rate > 0.0:
         base = jax.random.key(seed[0])
+        if batch_axis_name is not None:
+            # distinct masks per data shard (each shard holds different
+            # samples) while devices WITHIN a shard — which carry the
+            # same full-width tensors post-psum — stay mask-consistent
+            base = jax.random.fold_in(
+                base, jax.lax.axis_index(batch_axis_name))
         k1, k2, k3 = jax.random.split(base, 3)
         k2 = jax.random.fold_in(k2, jax.lax.axis_index(axis_name))
 
@@ -182,7 +189,8 @@ def tp_vit_block_sharded(x, rep, shard, mesh: Mesh, *, heads: int,
         _tp_block_local, heads_local=heads // n,
         scale=d ** -0.5 if scale is None else scale,
         kv_len=s if kv_len is None else kv_len,
-        axis_name=axis, rate=rate, interpret=interpret)
+        axis_name=axis, batch_axis_name=batch_axis, rate=rate,
+        interpret=interpret)
     rep_spec = jax.tree_util.tree_map(lambda _: P(), rep)
     shard_spec = jax.tree_util.tree_map(lambda _: P(axis), shard)
     x_spec = P(batch_axis) if batch_axis else P()

@@ -364,3 +364,22 @@ def test_trainer_tp_routes_dropout_training(monkeypatch):
                           jax.random.PRNGKey(2))
     assert np.isfinite(float(metrics["loss"]))
     assert 0.1 in rates, rates  # the space block routed WITH dropout
+
+
+def test_dp_tp_dropout_masks_differ_per_data_shard():
+    """Under DP×TP, each data shard must draw its own dropout masks (its
+    samples differ) — identical inputs in different shards must come out
+    differently masked."""
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs the virtual 8-device mesh")
+    x, params = _make(seed=4)
+    # same sample replicated across the batch: any output difference
+    # between rows proves per-shard masks
+    x = jnp.broadcast_to(x[:1], x.shape)
+    mesh = Mesh(np.asarray(devs[:8]).reshape(2, 4), ("data", "model"))
+    out = tp_vit_block(x, params, mesh, heads=HEADS, dropout_rate=0.4,
+                       dropout_rng=jax.random.PRNGKey(3),
+                       batch_axis="data", interpret=True)
+    out = np.asarray(out)
+    assert not np.allclose(out[0], out[1])
