@@ -243,7 +243,22 @@ class ViTBlock(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True,
                  kv_len: int | None = None):
-        from devt_tpu.ops.attention import active_tp_mesh
+        from devt_tpu.ops.attention import active_tp_mesh, quant_active
+
+        if deterministic and quant_active() \
+                and not (self.heads == 1 and self.dim_head == self.dim):
+            # int8 serving path (ops/quant.py): same param tree, big
+            # matmuls int8 — set by serve.Predictor(quantize=True)
+            import jax as _jax
+
+            from devt_tpu.ops.quant import (quant_block_params,
+                                            quant_vit_block)
+            params = self._block_params(self.dtype)
+            return quant_vit_block(
+                x.astype(self.dtype), quant_block_params(params),
+                self.heads, self.dim_head ** -0.5,
+                kv_len if kv_len is not None else x.shape[1],
+                interpret=_jax.default_backend() != "tpu")
 
         tpm = active_tp_mesh()
         if tpm is not None and self._tp_eligible(x, deterministic, tpm):

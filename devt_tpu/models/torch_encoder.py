@@ -22,6 +22,20 @@ from devt_tpu.models.layers import LN_EPS
 from devt_tpu.ops.attention import packed_mha
 
 
+def _quant_dot_general(deterministic: bool):
+    """int8 ``dot_general`` for the four big Dense sites when tracing
+    under ``serve.Predictor(quantize=True)``'s quant_scope (eval only),
+    else None → flax's default f32/bf16 contraction.  Same param tree
+    either way — the kernel is quantized at the call site, so quantized
+    serving is checkpoint-compatible with every trained model."""
+    from devt_tpu.ops.attention import quant_active
+
+    if deterministic and quant_active():
+        from devt_tpu.ops.quant import int8_dot_general
+        return int8_dot_general
+    return None
+
+
 class TorchMultiheadAttention(nn.Module):
     """Self-attention matching ``torch.nn.MultiheadAttention``.
 
@@ -41,7 +55,9 @@ class TorchMultiheadAttention(nn.Module):
         assert e == self.embed_dim
         head_dim = e // self.num_heads
 
-        qkv = nn.Dense(3 * e, dtype=self.dtype, name="in_proj")(x)
+        dg = _quant_dot_general(deterministic)
+        qkv = nn.Dense(3 * e, dtype=self.dtype, name="in_proj",
+                       dot_general=dg)(x)
 
         dropout_rng = None
         use_drop = self.dropout > 0.0 and not deterministic
@@ -57,7 +73,8 @@ class TorchMultiheadAttention(nn.Module):
             impl=self.attention_impl,
             dropout_rate=self.dropout if use_drop else 0.0,
             dropout_rng=dropout_rng)
-        return nn.Dense(e, dtype=self.dtype, name="out_proj")(out)
+        return nn.Dense(e, dtype=self.dtype, name="out_proj",
+                        dot_general=dg)(out)
 
 
 class TorchEncoderLayer(nn.Module):
@@ -78,10 +95,13 @@ class TorchEncoderLayer(nn.Module):
         attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
         x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm1")(x + attn)
 
-        h = nn.Dense(self.dim_feedforward, dtype=self.dtype, name="linear1")(x)
+        dg = _quant_dot_general(deterministic)
+        h = nn.Dense(self.dim_feedforward, dtype=self.dtype, name="linear1",
+                     dot_general=dg)(x)
         h = nn.relu(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        h = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(h)
+        h = nn.Dense(self.d_model, dtype=self.dtype, name="linear2",
+                     dot_general=dg)(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         return nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm2")(x + h)
 

@@ -85,6 +85,27 @@ def active_tp_mesh():
     return getattr(_gate, "tp_mesh", None)
 
 
+@contextlib.contextmanager
+def quant_scope():
+    """Trace-time context: ViT blocks route their big matmuls through
+    the int8 weight+activation path (ops/quant.py) — set by
+    ``serve.Predictor(quantize=True)`` around its forward trace, read by
+    ``models/layers.ViTBlock``.  Serving only (eval semantics; the
+    quantized block has no dropout or backward).  Re-entrant,
+    thread-local, scope-bounded like :func:`pallas_disabled`."""
+    prev = getattr(_gate, "quant", False)
+    _gate.quant = True
+    try:
+        yield
+    finally:
+        _gate.quant = prev
+
+
+def quant_active() -> bool:
+    """True inside :func:`quant_scope`."""
+    return bool(getattr(_gate, "quant", False))
+
+
 def _auto_pallas_ok() -> bool:
     """``"auto"`` → Pallas on TPU, unless tracing under
     ``pallas_disabled()`` (a GSPMD body whose operands may be sharded).

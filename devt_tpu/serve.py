@@ -37,12 +37,20 @@ class Predictor:
 
     def __init__(self, config: Config, variables: Mapping[str, Any],
                  buckets: Sequence[int] = (1, 8, 32),
-                 threshold: float = 0.3, mesh=None):
+                 threshold: float = 0.3, mesh=None,
+                 quantize: bool = False):
+        """``quantize=True`` serves the transformer blocks int8
+        (ops/quant.py): weights per-channel, activations dynamic
+        per-token, contractions on the MXU's int8 path.  Parameters are
+        closed over as compile-time constants so XLA folds the
+        weight-side rounding out of the serving program entirely — the
+        compiled artifact holds int8 weights."""
         self.config = config
         self.model = build_model(config)
         self.variables = dict(variables)
         self.threshold = threshold
         self.mesh = mesh
+        self.quantize = quantize
         if mesh is not None:
             # data-parallel serving: requests shard over the mesh's data
             # axis (weights replicated), so one Predictor saturates every
@@ -86,16 +94,32 @@ class Predictor:
                                   vid=batch.get("vid"))["logits"]
             return jax.nn.sigmoid(out)
 
-        if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
+        if quantize:
+            from devt_tpu.ops.attention import quant_scope
+
+            base, frozen = forward, self.variables
+
+            def forward(_, batch):  # noqa: F811 — quantized wrapper
+                # quant_scope is a TRACE-time gate: it wraps the apply
+                # calls while jit traces them; params enter as closed-
+                # over constants so the weight quantization folds away
+                with quant_scope():
+                    return base(frozen, batch)
+
+        if mesh is not None and mesh.size > 1:
+            from jax.sharding import PartitionSpec as P
 
             from devt_tpu.parallel.mesh import DATA_AXIS
 
-            rep = NamedSharding(mesh, P())
-            self._forward = jax.jit(
-                forward,
-                in_shardings=(rep, NamedSharding(mesh, P(DATA_AXIS))),
-                out_shardings=rep)
+            # shard_map, not GSPMD in_shardings: per-device shapes are
+            # concrete inside the body, so the fused Pallas kernels stay
+            # hot on every chip (same shape as the DP train step,
+            # parallel/train_step._shard_map_dp) — a pallas_call under
+            # sharded-operand GSPMD would be opaque and unpartitionable
+            body = forward
+            self._forward = jax.jit(jax.shard_map(
+                body, mesh=mesh,
+                in_specs=(P(), P(DATA_AXIS)), out_specs=P(DATA_AXIS)))
         else:
             self._forward = jax.jit(forward)
 
