@@ -63,9 +63,13 @@ def build_callbacks(config: Config):
                               num_classes=config.n_classes)]
     if config.data_set == "mit":
         return [MITEval()]
-    callbacks = [TransformerEval()]
+    # eval artifacts land in the run directory (save_path/name), never cwd
+    import os
+    run_dir = os.path.join(config.save_path, config.name)
+    callbacks = [TransformerEval(out_dir=run_dir)]
     if config.test:
-        callbacks.append(DisplayResults())
+        callbacks.append(DisplayResults(
+            out_path=os.path.join(run_dir, "embed_dict.pkl")))
     return callbacks
 
 

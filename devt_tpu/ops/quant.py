@@ -39,10 +39,14 @@ Predictor is checkpoint-compatible with every trained ViViT/frame model.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
 
-from devt_tpu.ops.fused_block import _gelu, _ln
+from devt_tpu.ops.fused_block import (_VMEM_LIMIT, _gelu, _group, _ln,
+                                       _mha_fwd, _param_spec, _row_spec)
 
 _EPS = 1e-8
 

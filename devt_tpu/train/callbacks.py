@@ -65,9 +65,10 @@ class TransformerEval(Callback):
         labels, probs = buffers.concatenated()
         # the reference pickles both buffers on test end (callbacks.py:76-79
         # — it writes labels twice; evident intent, labels + logits)
-        with open(os.path.join(self.out_dir, "labels"), "wb") as fp:
+        os.makedirs(self.out_dir, exist_ok=True)
+        with open(os.path.join(self.out_dir, "labels.pkl"), "wb") as fp:
             pickle.dump(labels, fp)
-        with open(os.path.join(self.out_dir, "logits"), "wb") as fp:
+        with open(os.path.join(self.out_dir, "logits.pkl"), "wb") as fp:
             pickle.dump(probs, fp)
         names = self.target_names[: labels.shape[1]]
         report = M.genre_report(labels, probs, names)
@@ -93,7 +94,7 @@ class MITEval(Callback):
 
 class DisplayResults(Callback):
     def __init__(self, target_names: Sequence[str] = MMX_GENRES_15,
-                 out_path: str = "embed_dict", threshold: float = 0.3):
+                 out_path: str = "embed_dict.pkl", threshold: float = 0.3):
         self.target_names = target_names
         self.out_path = out_path
         self.threshold = threshold
@@ -113,6 +114,9 @@ class DisplayResults(Callback):
                 "actual": self.n_to_labels(labels[i].astype(int))}
             for i in range(len(labels))
         }
+        parent = os.path.dirname(self.out_path)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
         with open(self.out_path, "wb") as fp:
             pickle.dump(cache, fp)
         buffers.reset()
