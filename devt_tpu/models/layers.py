@@ -254,11 +254,18 @@ class ViTBlock(nn.Module):
             from devt_tpu.ops.quant import (quant_block_params,
                                             quant_vit_block)
             params = self._block_params(self.dtype)
+            # honour the block's attention_impl: a config pinned to
+            # 'xla' (cross-platform export prerequisite) must not trace
+            # a pallas_call just because quantize=True is set
+            impl = ("pallas" if self.attention_impl == "fused_interpret"
+                    else self.attention_impl)
             return quant_vit_block(
                 x.astype(self.dtype), quant_block_params(params),
                 self.heads, self.dim_head ** -0.5,
                 kv_len if kv_len is not None else x.shape[1],
-                interpret=_jax.default_backend() != "tpu")
+                impl=impl,
+                interpret=self.attention_impl == "fused_interpret"
+                or _jax.default_backend() != "tpu")
 
         tpm = active_tp_mesh()
         if tpm is not None and self._tp_eligible(x, deterministic, tpm):

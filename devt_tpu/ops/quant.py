@@ -129,14 +129,22 @@ def quant_block_params(params):
 
 
 def quant_vit_block(x, qp, heads: int, scale: float, kv_len: int,
-                    *, interpret: bool = False):
+                    *, impl: str = "auto", interpret: bool = False):
     """Pre-norm ViT block forward, big matmuls in int8 (eval only).
 
     Numerics: residual stream and LN in f32, attention core in the
     model dtype through the standard dispatching attention (flash
-    kernel on TPU), GELU in f32 — identical structure to
-    ``fused_vit_block`` so logits stay within quantization error of the
-    full-precision path.
+    kernel on TPU), GELU via the fused path's tanh approximation —
+    identical structure to ``fused_vit_block`` so logits stay within
+    quantization error of the full-precision path.  For configs that
+    serve full precision through the UNFUSED flax path (exact erf GELU,
+    layers.py), the tanh form adds a small systematic ~3e-4 deviation on
+    top of int8 error — attribute accuracy deltas accordingly.
+
+    ``impl`` threads the block's ``attention_impl`` through to
+    :func:`scaled_dot_product_attention` so an explicitly pinned
+    ``'xla'`` config (the cross-platform export prerequisite,
+    serve.py) never traces a pallas_call here.
     """
     from devt_tpu.ops.attention import scaled_dot_product_attention
 
@@ -152,7 +160,7 @@ def quant_vit_block(x, qp, heads: int, scale: float, kv_len: int,
     att = scaled_dot_product_attention(
         qkv[0].astype(x.dtype), qkv[1].astype(x.dtype),
         qkv[2].astype(x.dtype), scale=scale, kv_len=kv_len,
-        interpret=interpret)
+        impl=impl, interpret=interpret)
     att = att.transpose(0, 2, 1, 3).reshape(b, s, inner)
     u = x32 + int8_matmul(att, qp["wo_q"], qp["wo_s"]) \
         + qp["bo"].astype(jnp.float32)

@@ -102,7 +102,10 @@ class Predictor:
             def forward(_, batch):  # noqa: F811 — quantized wrapper
                 # quant_scope is a TRACE-time gate: it wraps the apply
                 # calls while jit traces them; params enter as closed-
-                # over constants so the weight quantization folds away
+                # over constants so the weight quantization folds away.
+                # NOTE: this FREEZES the weights at construction time —
+                # later writes to ``pred.variables`` (checkpoint hot-swap)
+                # do not reach a quantized Predictor; rebuild it instead.
                 with quant_scope():
                     return base(frozen, batch)
 
@@ -216,7 +219,10 @@ class Predictor:
             bucket = self._bucket(take)
             chunk = {k: _pad_to(np.asarray(v[start:start + take]), bucket)
                      for k, v in batch.items()}
-            out = np.asarray(self._forward(self.variables, chunk))[:take]
+            # the quantized forward closed over its (frozen) weights at
+            # trace time — don't ship the unused f32 tree per call
+            arg = () if self.quantize else self.variables
+            out = np.asarray(self._forward(arg, chunk))[:take]
             scores.append(out)
             start += take
         scores = np.concatenate(scores) if scores else np.zeros((0, 0))

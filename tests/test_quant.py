@@ -197,3 +197,31 @@ def test_predictor_quantize_matches_full():
                 / (np.linalg.norm(s_full) * np.linalg.norm(s_quant)))
     assert cos > 0.995
     assert float(np.max(np.abs(s_full - s_quant))) < 0.05
+
+
+def test_quant_block_honours_pinned_attention_impl(monkeypatch):
+    """A config pinned to attention_impl='xla' (the cross-platform export
+    prerequisite, serve.Predictor.export) must reach the attention
+    dispatcher with impl='xla' even under quantize=True — a pallas_call
+    traced here would silently make the artifact TPU-only (ADVICE r3)."""
+    from devt_tpu.models.layers import ViTBlock
+    from devt_tpu.ops import attention as attn_mod
+    from devt_tpu.ops import quant as quant_mod
+
+    seen = {}
+    real = attn_mod.scaled_dot_product_attention
+
+    def spy(q, k, v, **kw):
+        seen["impl"] = kw.get("impl", "auto")
+        return real(q, k, v, **kw)
+
+    monkeypatch.setattr(attn_mod, "scaled_dot_product_attention", spy)
+
+    x = jnp.asarray(np.random.default_rng(3).standard_normal((2, 16, 64)),
+                    jnp.float32)
+    block = ViTBlock(64, 2, 32, 128, attention_impl="xla")
+    variables = block.init(jax.random.PRNGKey(0), x)
+    with attn_mod.quant_scope():
+        out = block.apply(variables, x, deterministic=True)
+    assert seen["impl"] == "xla"
+    assert np.isfinite(np.asarray(out)).all()
