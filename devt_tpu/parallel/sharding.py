@@ -57,12 +57,42 @@ def _spec_for(path: str, ndim: int) -> P:
     return P()
 
 
+def _key_str(k) -> str:
+    for attr in ("key", "name", "idx"):
+        if hasattr(k, attr):
+            return str(getattr(k, attr))
+    return str(k)
+
+
 def param_partition_specs(params) -> Any:
     """Pytree of PartitionSpecs mirroring ``params``."""
     def to_spec(path, leaf):
-        name = "/".join(str(getattr(k, "key", k)) for k in path)
+        name = "/".join(_key_str(k) for k in path)
         return _spec_for(name, leaf.ndim)
     return jax.tree_util.tree_map_with_path(to_spec, params)
+
+
+def shard_train_state(state, mesh: Mesh):
+    """Place a whole TrainState under the TP rules: params by the Megatron
+    specs AND the optimizer state's param-shaped moments (Adam mu/nu) on
+    the SAME shards as their parameter.
+
+    Placing the moments replicated while params are TP-sharded makes the
+    compiled step's wanted shardings disagree with the placed ones — the
+    SPMD partitioner then "involuntarily fully rematerializes" (replicate
+    + re-partition) every moment tensor each step, per-step ICI/HBM churn
+    for nothing.  The optax state's mu/nu pytrees carry the parameter
+    paths (``…/mu/encoder_0/…/to_qkv/kernel``), so the same path-substring
+    rules land each moment exactly where its parameter lives.
+    """
+    def place(path, leaf):
+        if not hasattr(leaf, "shape"):
+            return leaf
+        name = "/".join(_key_str(k) for k in path)
+        spec = _spec_for(name, getattr(leaf, "ndim", 0))
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(place, state)
 
 
 def shard_variables(variables, mesh: Mesh):

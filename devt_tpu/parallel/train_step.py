@@ -104,8 +104,61 @@ def _pmean_floats(tree, axis_name: str):
         if jnp.issubdtype(x.dtype, jnp.floating) else x, tree)
 
 
+def _gspmd_sharding_hooks(mesh, config: Config | None):
+    """``(constrain_params, constrain_grads)`` for the gspmd strategies.
+
+    Left alone, the SPMD partitioner picks shardings for the fwd/bwd use
+    of each kernel by propagation (e.g. head-split projections from the
+    attention reshape) that disagree with where the state was placed
+    (parallel/sharding.py TP rules, parallel/fsdp.py shape rule) — and
+    resolves the conflict by involuntarily fully rematerializing the
+    params and every Adam moment tensor each step.
+
+    * **fsdp**: the canonical ZeRO-3 pattern made explicit — params are
+      constrained to replicated at the point of use (ONE clean all_gather
+      per step, which is the ZeRO-3 contract: gathered for compute,
+      sharded at rest) and gradients are constrained back to the param
+      shards (a reduce_scatter), so the optimizer update is elementwise
+      local and the state stays sharded end to end.
+    * **TP/gspmd**: gradients are pinned to the Megatron partition specs
+      their params/moments were placed with, so the update stays local.
+
+    Both rule sets are pure (shape or path) functions, so the specs are
+    computable from the tree at trace time.
+    """
+    if mesh is None:
+        return None, None
+    from jax.sharding import NamedSharding
+
+    if config is not None and getattr(config, "dp_mode", "auto") == "fsdp":
+        from devt_tpu.parallel.fsdp import leaf_spec
+        n = dict(mesh.shape).get(DATA_AXIS, 1)
+
+        def gather(params):
+            return jax.tree_util.tree_map(
+                lambda p: jax.lax.with_sharding_constraint(
+                    p, NamedSharding(mesh, P())), params)
+
+        def pin(grads):
+            return jax.tree_util.tree_map(
+                lambda g: jax.lax.with_sharding_constraint(
+                    g, NamedSharding(mesh, leaf_spec(g.shape, n))), grads)
+        return gather, pin
+
+    from devt_tpu.parallel.sharding import param_partition_specs
+
+    def pin(grads):
+        specs = param_partition_specs(grads)
+        return jax.tree_util.tree_map(
+            lambda g, s: jax.lax.with_sharding_constraint(
+                g, NamedSharding(mesh, s)), grads, specs)
+    return None, pin
+
+
 def _make_step_body(model, config: Config,
-                    axis_name: str | None = None) -> Callable:
+                    axis_name: str | None = None,
+                    constrain_params: Callable | None = None,
+                    constrain_grads: Callable | None = None) -> Callable:
     """Un-jitted ``(state, batch, rng) -> (state, metrics)`` — one full
     fwd+bwd+update.  Shared by the single-step and multi-step executors.
 
@@ -118,6 +171,8 @@ def _make_step_body(model, config: Config,
     accum = max(config.accum_steps, 1)
 
     def loss_fn(params, model_state, batch, rng):
+        if constrain_params is not None:
+            params = constrain_params(params)
         variables = {"params": params, **model_state}
         loss, aux, new_model_state = forward_and_loss(
             model, config, variables, batch, rng, train=True,
@@ -166,6 +221,8 @@ def _make_step_body(model, config: Config,
             aux = {k: jax.lax.pmean(v, axis_name) for k, v in aux.items()}
             new_ms = _pmean_floats(new_ms, axis_name)
 
+        if constrain_grads is not None:
+            grads = constrain_grads(grads)
         new_state = state.apply_gradients(grads, new_ms)
         metrics = {"loss": loss, **aux}
         return new_state, metrics
@@ -212,15 +269,17 @@ def make_train_step(model, config: Config, mesh=None) -> Callable:
         body = _make_step_body(_sync_bn(model), config, axis_name=DATA_AXIS)
         return jax.jit(_shard_map_dp(body, mesh, P(DATA_AXIS)),
                        donate_argnums=(0,))
-    body = _make_step_body(model, config)
     if strategy == "gspmd":
+        cp, cg = _gspmd_sharding_hooks(mesh, config)
+        body = _make_step_body(model, config, constrain_params=cp,
+                               constrain_grads=cg)
         tp_scope = _tp_scope_for(mesh, config)
 
         def traced(state, batch, rng):
             with tp_scope(), pallas_disabled():
                 return body(state, batch, rng)
         return jax.jit(traced, donate_argnums=(0,))
-    return jax.jit(body, donate_argnums=(0,))
+    return jax.jit(_make_step_body(model, config), donate_argnums=(0,))
 
 
 def make_multi_step(model, config: Config, n_steps: int,
@@ -244,7 +303,10 @@ def make_multi_step(model, config: Config, n_steps: int,
     axis = DATA_AXIS if strategy == "dp_shard_map" else None
     if axis is not None:
         model = _sync_bn(model)
-    body = _make_step_body(model, config, axis_name=axis)
+    cp, cg = (_gspmd_sharding_hooks(mesh, config)
+              if strategy == "gspmd" else (None, None))
+    body = _make_step_body(model, config, axis_name=axis,
+                           constrain_params=cp, constrain_grads=cg)
 
     def multi_step(state: TrainState, batches, rng):
         def scan_body(carry, batch):

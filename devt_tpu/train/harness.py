@@ -26,7 +26,6 @@ import numpy as np
 from devt_tpu.config import Config
 from devt_tpu.data.pipeline import device_prefetch
 from devt_tpu.parallel.mesh import make_mesh, shard_batch
-from devt_tpu.parallel.sharding import shard_variables
 from devt_tpu.parallel.train_step import (make_eval_step, make_multi_step,
                                           make_train_step)
 from devt_tpu.train import checkpoint as ckpt_lib
@@ -82,10 +81,12 @@ class Trainer:
                 from devt_tpu.parallel.fsdp import shard_train_state
                 state = shard_train_state(state, self.mesh)
             else:
-                placed = shard_variables({"params": state.params,
-                                          **state.model_state}, self.mesh)
-                params = placed.pop("params")
-                state = state.replace(params=params, model_state=placed)
+                # whole-state placement: params by the Megatron TP rules
+                # AND the Adam moments on the same shards as their param —
+                # moments left replicated would make the SPMD partitioner
+                # re-materialize them every step (parallel/sharding.py)
+                from devt_tpu.parallel import sharding
+                state = sharding.shard_train_state(state, self.mesh)
         if self.config.resume:
             state = ckpt_lib.restore(self.config.resume, state)
         return state

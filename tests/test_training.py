@@ -644,3 +644,46 @@ def test_u8_tokens_wire_harness_and_registry():
     kwargs = Trainer(cfg)._apply_kwargs(batch)
     assert kwargs["tokens_in"] is True
     assert kwargs["x"] is batch["vid_tokens"]
+
+
+def test_adam_moments_shard_like_params_on_tp_mesh():
+    """shard_train_state must land the Adam mu/nu on the SAME shards as
+    their parameter (parallel/sharding.py): moments placed replicated
+    while params are TP-sharded make the SPMD partitioner involuntarily
+    re-materialize every moment tensor each step (VERDICT r3 #3)."""
+    from devt_tpu.parallel.sharding import shard_train_state
+
+    cfg, model, state, batch = _tiny_ptn_setup(batch=8)
+    mesh = make_mesh(dp=4, mp=2)
+    state = shard_train_state(state, mesh)
+
+    def _moment_tree(opt_state, name):
+        for part in jax.tree_util.tree_leaves(
+                opt_state, is_leaf=lambda x: hasattr(x, name)):
+            if hasattr(part, name):
+                return getattr(part, name)
+        raise AssertionError(f"no {name} in opt_state")
+
+    mu = _moment_tree(state.opt_state, "mu")
+    path = ("encoder_0", "layer_0", "self_attn", "in_proj", "kernel")
+    p_leaf, m_leaf = state.params, mu
+    for k in path:
+        p_leaf, m_leaf = p_leaf[k], m_leaf[k]
+    assert m_leaf.sharding == p_leaf.sharding
+    assert m_leaf.sharding.spec == jax.sharding.PartitionSpec(None, "model")
+
+    # and they STAY co-sharded through a step, with loss parity
+    step = make_train_step(model, cfg, mesh=mesh)
+    state, metrics = step(state, shard_batch(batch, mesh),
+                          jax.random.PRNGKey(0))
+    mu2 = _moment_tree(state.opt_state, "mu")
+    p2, m2 = state.params, mu2
+    for k in path:
+        p2, m2 = p2[k], m2[k]
+    assert m2.sharding.spec == p2.sharding.spec
+
+    cfg2, model2, state2, _ = _tiny_ptn_setup(batch=8)
+    step2 = make_train_step(model2, cfg2)
+    _, metrics2 = step2(state2, batch, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(float(metrics["loss"]),
+                               float(metrics2["loss"]), rtol=1e-5)
