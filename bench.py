@@ -235,17 +235,20 @@ def bench_int8_serving(batch_size: int = 32) -> dict:
     much of that reaches the whole serving step (attention core, LN,
     softmax and the patch embed stay bf16 by design).
 
-    Measured honestly: with XLA-level dynamic activation quantization the
-    int8 path currently LOSES to bf16 on this model (microbenches put the
-    quantize pass itself at ~0.8 ms for a 4096×2048 activation — VPU/HBM
-    bound, larger than the matmul it feeds), and the quantized block also
-    forgoes the fused Pallas kernels.  The speedup_vs_bf16 field reports
-    whatever the chip says; reaching the 2× MXU ceiling needs the
-    quantize fused INTO the matmul kernel (a round-4 Pallas item)."""
+    Round 3 measured the XLA-level path at 0.40× bf16 (the separate
+    dynamic-quantize pass was a VPU/HBM pass bigger than the d=192
+    matmuls it fed, and the quantized block forfeited the fused Pallas
+    kernels).  Round 4 fused the whole thing: quant_fused_vit_block
+    (ops/quant.py) runs the block in ONE pallas_call — quantize in VMEM,
+    int8×int8→int32 MXU dots, dequant on the f32 accumulator — so the
+    speedup_vs_bf16 field now measures that kernel.  Accuracy fields
+    (label agreement at the 0.3 threshold, max score error) are computed
+    in-bench between the two predictors on the same non-zero input."""
     import time
 
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from devt_tpu.config import Config
     from devt_tpu.registry import build_model
@@ -254,31 +257,98 @@ def bench_int8_serving(batch_size: int = 32) -> dict:
     cfg = Config(model="vivit", batch_size=batch_size, frame_len=16,
                  n_classes=19, precision="bf16")
     model = build_model(cfg)
-    # build the clip ON device (zeros via jit) — a (32,16,224,224,3)
-    # host array would cost ~150 MB of tunnel H2D and measure the link
+    # build the clip ON device (jit PRNG) — a (32,16,224,224,3) host
+    # array would cost ~150 MB of tunnel H2D and measure the link.
+    # Non-zero pixels so the accuracy comparison below means something.
     shape = (batch_size, 16, 224, 224, 3)
-    clip = jax.jit(lambda: jnp.zeros(shape, jnp.bfloat16))()
+    clip = jax.jit(lambda: jax.random.normal(
+        jax.random.PRNGKey(7), shape, jnp.bfloat16) * 0.5)()
     variables = model.init({"params": jax.random.PRNGKey(0)}, clip)
 
-    rates = {}
+    rates, scores = {}, {}
     for tag, quant in (("bf16", False), ("int8", True)):
         pred = Predictor(cfg, variables, buckets=(batch_size,),
                          quantize=quant)
         batch = {"vid": clip}
-        _sync(pred._forward(pred.variables, batch))  # compile + warm
+        out = pred._invoke(batch)
+        _sync(out)  # compile + warm
+        scores[tag] = np.asarray(out, np.float32)
         iters = 20
         t0 = time.perf_counter()
         for _ in range(iters):
-            out = pred._forward(pred.variables, batch)
+            out = pred._invoke(batch)
         _sync(out)
         rates[tag] = batch_size * iters / (time.perf_counter() - t0)
+    thresh = 0.3
+    agree = float(np.mean((scores["bf16"] > thresh)
+                          == (scores["int8"] > thresh)))
+    max_err = float(np.max(np.abs(scores["bf16"] - scores["int8"])))
     return {"name": "int8_serving_b32",
             "value": round(rates["int8"], 1), "unit": "clips/sec/chip",
             "detail": {"bf16_clips_per_sec": round(rates["bf16"], 1),
                        "speedup_vs_bf16": round(
-                           rates["int8"] / rates["bf16"], 3)},
-            "note": "Predictor(quantize=True) forward, device-resident "
-                    "input; weights fold to int8 constants at trace time"}
+                           rates["int8"] / rates["bf16"], 3),
+                       "label_agreement_at_0.3": round(agree, 4),
+                       "max_score_err": round(max_err, 4)},
+            "note": "Predictor(quantize=True), fused int8 block kernel "
+                    "(quantize-in-VMEM, int8 MXU dots); weights fold to "
+                    "int8 constants at trace time"}
+
+
+def bench_int8_serving_ptn(batch_size: int = 256) -> dict:
+    """Config 2c: int8 serving on the PTN pyramid transformer — the
+    model family int8 is FOR.  PTN's torch-encoder width is 2048
+    (models/ptn.py nhid/input_dimension), so its Dense sites are the
+    wide-contraction regime where the fused Pallas int8 matmul
+    (quantize-in-VMEM + int8 MXU dot, ops/quant.int8_matmul_fused)
+    measured 1.48× bf16 — unlike ViViT's d=192 blocks where int8 is
+    VPU-bound parity at best (the 2b row above; measurements in the
+    ops/quant.py section header)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from devt_tpu.config import Config
+    from devt_tpu.registry import build_model
+    from devt_tpu.serve import Predictor
+
+    cfg = Config(model="ptn", batch_size=batch_size, seq_len=13,
+                 nlayers=2, nhid=2048, input_dimension=2048, nhead=8,
+                 dropout=0.0, precision="bf16",
+                 experts=("video-embeddings", "audio-embeddings"))
+    model = build_model(cfg)
+    shape = (batch_size, cfg.seq_len, len(cfg.experts), 2048)
+    experts = jax.jit(lambda: jax.random.normal(
+        jax.random.PRNGKey(7), shape, jnp.float32) * 0.5)()
+    variables = model.init({"params": jax.random.PRNGKey(0)}, experts)
+
+    rates, scores = {}, {}
+    for tag, quant in (("bf16", False), ("int8", True)):
+        pred = Predictor(cfg, variables, buckets=(batch_size,),
+                         quantize=quant)
+        batch = {"experts": experts}
+        out = pred._invoke(batch)
+        _sync(out)
+        scores[tag] = np.asarray(out, np.float32)
+        iters = 30
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = pred._invoke(batch)
+        _sync(out)
+        rates[tag] = batch_size * iters / (time.perf_counter() - t0)
+    agree = float(np.mean((scores["bf16"] > 0.3) == (scores["int8"] > 0.3)))
+    max_err = float(np.max(np.abs(scores["bf16"] - scores["int8"])))
+    return {"name": "int8_serving_ptn_b256",
+            "value": round(rates["int8"], 1), "unit": "samples/sec/chip",
+            "detail": {"bf16_samples_per_sec": round(rates["bf16"], 1),
+                       "speedup_vs_bf16": round(
+                           rates["int8"] / rates["bf16"], 3),
+                       "label_agreement_at_0.3": round(agree, 4),
+                       "max_score_err": round(max_err, 4)},
+            "note": "PTN (2048-wide torch encoders) via the fused Pallas "
+                    "int8 matmul on every Dense site under quant_scope"}
 
 
 def bench_two_modality_fusion(batch_size: int = 32) -> dict:
@@ -618,7 +688,7 @@ def bench_p50_preprocess_to_logits(
 def run_all() -> list[dict]:
     results = []
     for fn in (bench_single_clip_cpu_fwd, bench_pyramid_inference,
-               bench_int8_serving,
+               bench_int8_serving, bench_int8_serving_ptn,
                bench_two_modality_fusion, bench_dropout_train,
                bench_vivit_dropout_train, bench_vivit_tokens_train,
                bench_distillation_train,

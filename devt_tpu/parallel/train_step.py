@@ -334,25 +334,51 @@ def make_eval_step(model, config: Config, mesh=None) -> Callable:
     """Returns jitted ``eval_step(state, batch) -> (loss, aux)`` — the
     validation/test step feeding the epoch-end evaluators.
 
-    Eval always runs as one GSPMD program (aux carries per-sample
-    probs/labels/embeddings whose global concatenation the evaluators
-    want; GSPMD keeps global-batch semantics — incl. the contrastive
-    negatives pool — with zero extra code).  Under a >1-device mesh it
-    traces with the Pallas auto-tier disabled, since its operands arrive
-    sharded.
+    Strategy mirrors the train step.  On an mp==1 DP mesh the body runs
+    under ``jax.shard_map`` over ``data`` — per-device shapes are
+    concrete, so the fused Pallas kernels serve validation/test exactly
+    like they serve training (r3 disabled them for EVERY mesh, so eval
+    throughput regressed exactly when scaling).  Global-batch semantics
+    are kept explicitly: the loss and scalar diagnostics are pmean'd,
+    per-sample aux rows (probs/labels/embeddings) are all-gathered in
+    batch order, and the contrastive negatives pool is the global batch
+    via ``axis_name`` (train/steps.py).  TP/FSDP meshes keep the GSPMD
+    trace with the Pallas auto-tier disabled (sharded operands cannot
+    partition into a pallas_call).
     """
 
-    def eval_step(state: TrainState, batch):
+    def eval_body(state: TrainState, batch, axis_name=None):
         variables = {"params": state.params, **state.model_state}
         loss, aux, _ = forward_and_loss(
-            model, config, variables, batch, rng=None, train=False)
+            model, config, variables, batch, rng=None, train=False,
+            axis_name=axis_name)
         return loss, aux
 
-    if mesh is not None and mesh.size > 1:
+    strategy = mesh_strategy(mesh, config)
+    if strategy == "dp_shard_map":
+        def body(state, batch):
+            loss, aux = eval_body(state, batch, axis_name=DATA_AXIS)
+            loss = jax.lax.pmean(loss, DATA_AXIS)
+
+            def rep(x):
+                x = jnp.asarray(x)
+                if x.ndim == 0:
+                    return jax.lax.pmean(x, DATA_AXIS)
+                # per-sample rows: gather shards in axis order, so the
+                # result is the global batch in its original order
+                return jax.lax.all_gather(x, DATA_AXIS, axis=0, tiled=True)
+
+            return loss, jax.tree_util.tree_map(rep, aux)
+
+        return jax.jit(jax.shard_map(
+            body, mesh=mesh, in_specs=(P(), P(DATA_AXIS)),
+            out_specs=(P(), P()), check_vma=False))
+
+    if strategy == "gspmd":
         tp_scope = _tp_scope_for(mesh, config)
 
         def traced(state, batch):
             with tp_scope(), pallas_disabled():
-                return eval_step(state, batch)
+                return eval_body(state, batch)
         return jax.jit(traced)
-    return jax.jit(eval_step)
+    return jax.jit(eval_body)

@@ -25,6 +25,11 @@ from devt_tpu.config import MMX_GENRES_15, MMX_GENRES_19, Config
 from devt_tpu.registry import build_model
 
 
+# param trees above this close-over-constants budget serve quantized
+# weights as jit ARGUMENTS instead of HLO literals (Predictor.__init__)
+FOLD_MODE_MAX_BYTES = 64 << 20
+
+
 def _pad_to(x: np.ndarray, n: int) -> np.ndarray:
     if x.shape[0] == n:
         return x
@@ -39,12 +44,15 @@ class Predictor:
                  buckets: Sequence[int] = (1, 8, 32),
                  threshold: float = 0.3, mesh=None,
                  quantize: bool = False):
-        """``quantize=True`` serves the transformer blocks int8
+        """``quantize=True`` serves the transformer hot path int8
         (ops/quant.py): weights per-channel, activations dynamic
-        per-token, contractions on the MXU's int8 path.  Parameters are
-        closed over as compile-time constants so XLA folds the
-        weight-side rounding out of the serving program entirely — the
-        compiled artifact holds int8 weights."""
+        per-token, contractions on the MXU's int8 path through the fused
+        Pallas kernels.  Weight delivery picks one of two modes by model
+        size: ≤64 MB trees close over the trace as constants (XLA folds
+        the rounding; weights frozen at construction), bigger trees are
+        pre-quantized once at init and enter the serving jit as int8
+        ARGUMENTS (no multi-hundred-MB HLO literals — the production
+        shape for wide models like PTN)."""
         self.config = config
         self.model = build_model(config)
         self.variables = dict(variables)
@@ -94,20 +102,47 @@ class Predictor:
                                   vid=batch.get("vid"))["logits"]
             return jax.nn.sigmoid(out)
 
+        self._qsites = None
         if quantize:
+            import numpy as _np
+
             from devt_tpu.ops.attention import quant_scope
+            from devt_tpu.ops.quant import (quant_sites_collect,
+                                            quant_sites_provide)
 
             base, frozen = forward, self.variables
+            nbytes = sum(_np.asarray(x).nbytes for x in
+                         jax.tree_util.tree_leaves(frozen))
+            if nbytes <= FOLD_MODE_MAX_BYTES:
+                # fold mode (small models): params close over the trace
+                # as constants, so the weight-side rounding folds into
+                # int8 constants in the compiled program.  NOTE: this
+                # FREEZES the weights at construction — later writes to
+                # ``pred.variables`` (checkpoint hot-swap) do not reach
+                # the Predictor; rebuild it instead.
+                def forward(_, batch):  # noqa: F811 — quantized wrapper
+                    with quant_scope():
+                        return base(frozen, batch)
+            else:
+                # arg mode (big models): baking hundreds of MB of f32
+                # literals into the HLO is not shippable — weights are
+                # quantized ONCE here (eager collect pass over a
+                # one-sample batch; call order is the site identity) and
+                # the serving jit takes the int8 site list as ARGUMENTS
+                # (ops/quant.py site registry).
+                from devt_tpu.registry import example_batch
+                tiny = {k: jnp.asarray(v)
+                        for k, v in example_batch(config,
+                                                  batch_size=1).items()
+                        if k != "label"}
+                sites: list = []
+                with quant_scope(), quant_sites_collect(sites):
+                    base(frozen, tiny)
+                self._qsites = sites
 
-            def forward(_, batch):  # noqa: F811 — quantized wrapper
-                # quant_scope is a TRACE-time gate: it wraps the apply
-                # calls while jit traces them; params enter as closed-
-                # over constants so the weight quantization folds away.
-                # NOTE: this FREEZES the weights at construction time —
-                # later writes to ``pred.variables`` (checkpoint hot-swap)
-                # do not reach a quantized Predictor; rebuild it instead.
-                with quant_scope():
-                    return base(frozen, batch)
+                def forward(variables, batch, qsites):  # noqa: F811
+                    with quant_scope(), quant_sites_provide(qsites):
+                        return base(variables, batch)
 
         if mesh is not None and mesh.size > 1:
             from jax.sharding import PartitionSpec as P
@@ -120,11 +155,23 @@ class Predictor:
             # parallel/train_step._shard_map_dp) — a pallas_call under
             # sharded-operand GSPMD would be opaque and unpartitionable
             body = forward
+            in_specs = (P(), P(DATA_AXIS)) if self._qsites is None \
+                else (P(), P(DATA_AXIS), P())
             self._forward = jax.jit(jax.shard_map(
                 body, mesh=mesh,
-                in_specs=(P(), P(DATA_AXIS)), out_specs=P(DATA_AXIS)))
+                in_specs=in_specs, out_specs=P(DATA_AXIS)))
         else:
             self._forward = jax.jit(forward)
+
+    def _invoke(self, chunk):
+        """One compiled forward on an already-padded batch dict."""
+        if self._qsites is not None:
+            return self._forward(self.variables, chunk, self._qsites)
+        if self.quantize:
+            # fold mode closed over its (frozen) weights at trace time —
+            # don't ship the unused f32 tree per call
+            return self._forward((), chunk)
+        return self._forward(self.variables, chunk)
 
     @classmethod
     def from_checkpoint(cls, config: Config, ckpt_path: str,
@@ -195,10 +242,18 @@ class Predictor:
                    if k != "label"}
         variables = self.variables
         fwd = self._forward
-
-        exported = jexport.export(
-            jax.jit(lambda batch: fwd(variables, batch)),
-            platforms=platforms)(example)
+        if self._qsites is not None:
+            # arg-mode quantized predictor: the artifact bakes the int8
+            # site list in alongside the variables (an export is an
+            # artifact-with-weights by definition)
+            qsites = self._qsites
+            exported = jexport.export(
+                jax.jit(lambda batch: fwd(variables, batch, qsites)),
+                platforms=platforms)(example)
+        else:
+            exported = jexport.export(
+                jax.jit(lambda batch: fwd(variables, batch)),
+                platforms=platforms)(example)
         with open(path, "wb") as f:
             f.write(exported.serialize())
 
@@ -219,10 +274,7 @@ class Predictor:
             bucket = self._bucket(take)
             chunk = {k: _pad_to(np.asarray(v[start:start + take]), bucket)
                      for k, v in batch.items()}
-            # the quantized forward closed over its (frozen) weights at
-            # trace time — don't ship the unused f32 tree per call
-            arg = () if self.quantize else self.variables
-            out = np.asarray(self._forward(arg, chunk))[:take]
+            out = np.asarray(self._invoke(chunk))[:take]
             scores.append(out)
             start += take
         scores = np.concatenate(scores) if scores else np.zeros((0, 0))

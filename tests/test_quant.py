@@ -88,6 +88,93 @@ def test_quant_vit_block_matches_full_precision():
         np.max(np.abs(ref)))
 
 
+def test_quant_fused_kernel_matches_xla_quant_path():
+    """The fused int8 kernel (quantize-in-VMEM, one pallas_call per
+    block) against the unfused XLA int8 path (impl='xla'): both quantize
+    identically, so they agree to LSB-level rounding — far tighter than
+    the int8-vs-f32 budget."""
+    from devt_tpu.ops.quant import _fused_quant_ok, quant_fused_vit_block
+
+    rng = np.random.default_rng(7)
+    dim, heads, dhead, mlp = 192, 3, 64, 768
+    params = _block_params(rng, dim, heads, dhead, mlp)
+    qp = quant_block_params(params)
+    x = jnp.asarray(rng.standard_normal((4, 208, dim)) * 0.3, jnp.float32)
+    assert _fused_quant_ok(x, qp, heads)
+
+    fused = jax.jit(lambda x: quant_fused_vit_block(
+        x, qp, heads, dhead ** -0.5, 197, interpret=True))(x)
+    xla = jax.jit(lambda x: quant_vit_block(
+        x, qp, heads, dhead ** -0.5, 197, impl="xla"))(x)
+    f = np.asarray(fused, np.float32)
+    r = np.asarray(xla, np.float32)
+    # differences: reciprocal-vs-divide rounding in the row quantize and
+    # the attention core's dispatch — both LSB-scale
+    assert float(np.max(np.abs(f - r))) < 0.02 * float(np.max(np.abs(r)))
+
+
+def test_quant_vit_block_routes_to_fused_kernel(monkeypatch):
+    """impl != 'xla' on an eligible shape must take the fused kernel;
+    impl='xla' must not."""
+    from devt_tpu.ops import quant as quant_mod
+
+    calls = []
+    real = quant_mod.quant_fused_vit_block
+
+    def spy(*a, **kw):
+        calls.append(True)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(quant_mod, "quant_fused_vit_block", spy)
+    rng = np.random.default_rng(8)
+    params = _block_params(rng, 192, 3, 64, 768)
+    qp = quant_block_params(params)
+    x = jnp.asarray(rng.standard_normal((2, 32, 192)) * 0.3, jnp.float32)
+    quant_mod.quant_vit_block(x, qp, 3, 64 ** -0.5, 32, interpret=True)
+    assert calls
+    calls.clear()
+    quant_mod.quant_vit_block(x, qp, 3, 64 ** -0.5, 32, impl="xla")
+    assert not calls
+
+
+def test_int8_matmul_fused_matches_xla_int8_path():
+    """The wide-Dense Pallas kernel (quantize-in-VMEM + int8 MXU dot)
+    against the plain XLA int8 formulation: same quantization scheme
+    modulo reciprocal-vs-divide rounding, so near-LSB agreement —
+    including a non-tile-multiple row count (padding path)."""
+    from devt_tpu.ops.quant import int8_matmul_fused
+
+    rng = np.random.default_rng(9)
+    for m, k, n in ((256, 512, 512), (100, 512, 768)):
+        x = jnp.asarray(rng.standard_normal((m, k)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((k, n)) * 0.05, jnp.float32)
+        w_q, s = quantize_weight(w)
+        fused = jax.jit(lambda x, wq=w_q, ss=s: int8_matmul_fused(
+            x, wq, ss, interpret=True))(x)
+        ref = jax.jit(int8_matmul)(x, w_q, s)
+        denom = float(jnp.max(jnp.abs(ref)))
+        assert fused.shape == (m, n)
+        assert float(jnp.max(jnp.abs(fused - ref))) / denom < 1e-3
+
+
+def test_int8_dot_general_routes_by_shape(monkeypatch):
+    """int8_dot_general takes the fused Pallas kernel exactly when the
+    shape regime wins (wide contraction, TPU backend) — narrow shapes
+    and non-TPU backends keep the XLA formulation."""
+    from devt_tpu.ops import quant as quant_mod
+
+    # on the CPU test backend the gate must refuse outright
+    assert not quant_mod._fused_matmul_ok(4096, 2048, 2048)
+    # pretend-TPU: check the shape rule itself
+    monkeypatch.setattr("jax.default_backend", lambda: "tpu")
+    assert quant_mod._fused_matmul_ok(4096, 2048, 2048)
+    assert not quant_mod._fused_matmul_ok(4096, 192, 576)   # narrow K
+    assert not quant_mod._fused_matmul_ok(16, 2048, 2048)   # tiny batch
+    from devt_tpu.ops.attention import pallas_disabled
+    with pallas_disabled():   # GSPMD trace: no pallas_call
+        assert not quant_mod._fused_matmul_ok(4096, 2048, 2048)
+
+
 def test_quant_vit_block_wider_inner_dim():
     """inner = heads·dim_head ≠ dim exercises the (inner, dim)
     out-projection shape inference."""
@@ -143,6 +230,38 @@ def test_torch_encoder_quant_scope_tracks_full_precision():
         t = np.asarray(enc.apply(variables, x, deterministic=False,
                                  rngs={"dropout": jax.random.PRNGKey(1)}))
     np.testing.assert_allclose(t, ref, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_predictor_quantize_arg_mode_matches_fold_mode(monkeypatch):
+    """Big param trees must not bake into the HLO as literals: above
+    FOLD_MODE_MAX_BYTES the quantized Predictor pre-quantizes each site
+    once (eager collect pass) and serves them as jit ARGUMENTS.  Forced
+    here by dropping the threshold to zero on a small PTN: scores must
+    match the fold-mode predictor exactly (same weights, same site
+    order), and the site list must be int8."""
+    from devt_tpu import serve as serve_mod
+    from devt_tpu.config import Config
+    from devt_tpu.registry import build_model, example_batch
+    from devt_tpu.serve import Predictor
+
+    cfg = Config(model="ptn", batch_size=4, seq_len=6, nlayers=1,
+                 experts=("video-embeddings", "audio-embeddings"))
+    model = build_model(cfg)
+    batch = example_batch(cfg, batch_size=4)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.asarray(batch["experts"]))
+    # the 2048-wide PTN tree is ~200 MB — arg mode engages by default
+    arg = Predictor(cfg, variables, buckets=(4,), quantize=True)
+    monkeypatch.setattr(serve_mod, "FOLD_MODE_MAX_BYTES", 1 << 40)
+    fold = Predictor(cfg, variables, buckets=(4,), quantize=True)
+    assert fold._qsites is None
+    assert arg._qsites, "arg mode did not collect any quant sites"
+    assert all(q.dtype == jnp.int8 for q, _ in arg._qsites)
+    req = {"experts": np.asarray(batch["experts"])}
+    s_fold = fold.predict(req)["scores"]
+    s_arg = arg.predict(req)["scores"]
+    np.testing.assert_allclose(s_arg, s_fold, rtol=1e-5, atol=1e-6)
 
 
 @pytest.mark.slow
