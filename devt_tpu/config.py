@@ -127,6 +127,16 @@ class Config(Mapping[str, Any]):
     model_axis: str = "model"          # mesh axis for tensor parallelism
     dp: int = -1                       # data-parallel size; -1 = all devices / mp
     mp: int = 1                        # model-parallel (tensor) size
+    pp: int = 1                        # pipeline-parallel stages (>1: the
+                                       # vivit space transformer's depth
+                                       # splits over a "pipe" mesh axis and
+                                       # runs the GPipe schedule —
+                                       # parallel/pipeline.py; composes with
+                                       # dp, not mp; requires dropout == 0
+                                       # and depth % pp == 0; the block
+                                       # params stack (depth, ...) so pp
+                                       # checkpoints differ from pp=1 trees)
+    pp_microbatches: int = 0           # GPipe microbatches (0 = pp)
     attention_impl: str = "auto"       # "auto" | "pallas" | "xla"
     dp_mode: str = "auto"              # multi-device mp==1 strategy:
                                        # "auto" = shard_map over data (fused
@@ -189,6 +199,18 @@ class Config(Mapping[str, Any]):
                 "wire — only the vivit model consumes it")
         if self.dp_mode not in ("auto", "gspmd", "fsdp"):
             raise ValueError(f"unknown dp_mode {self.dp_mode!r}")
+        if self.pp > 1:
+            if self.mp != 1:
+                raise ValueError("pp composes with dp only; set mp=1")
+            if self.model != "vivit":
+                raise ValueError("pipeline parallelism is implemented for "
+                                 "the vivit depth stack (config.pp)")
+            if self.dropout > 0.0:
+                raise ValueError("pp > 1 requires dropout == 0.0 (the "
+                                 "GPipe schedule does not plumb per-stage "
+                                 "dropout rngs)")
+            if self.moe_experts > 0:
+                raise ValueError("pp > 1 does not compose with MoE blocks")
         if self.best_mode not in ("max", "min"):
             raise ValueError(f"unknown best_mode {self.best_mode!r}")
 

@@ -411,11 +411,124 @@ class ViTTransformer(nn.Module):
     moe_experts: int = 0
     moe_every: int = 2
     moe_capacity_factor: float = 1.25
+    # pipeline_stages > 1: the block stack's parameters are declared
+    # STACKED — one (depth, ...) leaf per fused-block entry, names
+    # "pb_*" — and the stack executes either sequentially (no pipe mesh)
+    # or as the GPipe fill/drain schedule over the "pipe" mesh axis when
+    # tracing inside parallel/train_step.py's pp shard_map
+    # (parallel/pipeline.pipeline_scope).  Identical math either way —
+    # the pp trainer's loss parity test rests on it.  NOTE: a different
+    # param tree than the per-block named layout (checkpoints are not
+    # interchangeable across pipeline_stages settings).
+    pipeline_stages: int = 0
+    pipeline_microbatches: int = 0
     dtype: jnp.dtype = jnp.float32
+
+    def _stacked_block_params(self):
+        import jax.nn.initializers as ji
+
+        d, h, dd, m = self.dim, self.heads, self.dim_head, self.mlp_dim
+        inner = h * dd
+        lecun = ji.lecun_normal(in_axis=-2, out_axis=-1, batch_axis=(0,))
+        n = self.depth
+
+        def P_(name, init, *shape):
+            return self.param(name, init, (n,) + shape)
+
+        return {
+            "g1": P_("pb_g1", ji.ones, 1, d),
+            "b1": P_("pb_b1", ji.zeros, 1, d),
+            "wqkv": P_("pb_wqkv", lecun, d, 3 * inner),
+            "wo": P_("pb_wo", lecun, inner, d),
+            "bo": P_("pb_bo", ji.zeros, 1, d),
+            "g2": P_("pb_g2", ji.ones, 1, d),
+            "b2": P_("pb_b2", ji.zeros, 1, d),
+            "w1": P_("pb_w1", lecun, d, m),
+            "bb1": P_("pb_bb1", ji.zeros, 1, m),
+            "w2": P_("pb_w2", lecun, m, d),
+            "bb2": P_("pb_bb2", ji.zeros, 1, d),
+        }
+
+    def _block_math(self, kv_len: int):
+        """(params, x) -> y for one raw-param block — the fused Pallas
+        kernel where it is eligible, the jnp reference math otherwise."""
+        import jax as _jax
+
+        from devt_tpu.ops.fused_block import (fused_vit_block,
+                                              reference_vit_block)
+
+        heads, scale = self.heads, self.dim_head ** -0.5
+        interpret = self.attention_impl == "fused_interpret"
+        use_fused = (interpret or (_jax.default_backend() == "tpu"
+                                   and self.attention_impl != "xla")) \
+            and self.heads * self.dim_head == self.dim
+
+        def block(p, x):
+            if use_fused and x.shape[1] % 16 == 0:
+                from devt_tpu.ops.flash_attention import fits_single_block
+                if fits_single_block(x.shape[1]):
+                    return fused_vit_block(x, p, heads, scale, kv_len,
+                                           interpret)
+            return reference_vit_block(x, p, heads, scale, kv_len)
+
+        return block
+
+    def _pipelined_stack(self, x, kv_len: int):
+        """The pipeline_stages > 1 execution path (see class note)."""
+        import jax as _jax
+
+        from devt_tpu.parallel.pipeline import (PIPE_AXIS, active_pipe_mesh,
+                                                pipeline_apply)
+
+        # weight matrices (ndim 3 stacked: (depth, K, N)) follow the model
+        # dtype, LN/bias rows stay f32 — the _block_params convention
+        stacked = _jax.tree_util.tree_map(
+            lambda v: v.astype(self.dtype) if v.ndim == 3
+            and v.shape[-2] > 1 else v, self._stacked_block_params())
+        block = self._block_math(kv_len)
+        n_stages = self.pipeline_stages
+        per = self.depth // n_stages
+
+        def take(tree, i):
+            return _jax.tree_util.tree_map(lambda v: v[i], tree)
+
+        def stage_fn(p_stage, xs):
+            # p_stage: one stage's (per, ...) slice; apply its blocks
+            for j in range(per):
+                xs = block(take(p_stage, j), xs)
+            return xs
+
+        mesh = active_pipe_mesh()
+        if mesh is not None and dict(mesh.shape).get(PIPE_AXIS, 1) > 1:
+            s_idx = _jax.lax.axis_index(PIPE_AXIS)
+            local = _jax.tree_util.tree_map(
+                lambda v: _jax.lax.dynamic_index_in_dim(
+                    v.reshape((n_stages, per) + v.shape[1:]), s_idx, 0,
+                    keepdims=False), stacked)
+            n_micro = self.pipeline_microbatches or n_stages
+            b = x.shape[0]
+            assert b % n_micro == 0, (b, n_micro)
+            xm = x.reshape((n_micro, b // n_micro) + x.shape[1:])
+            out = pipeline_apply(stage_fn, local, xm,
+                                 axis_name=PIPE_AXIS, n_stages=n_stages)
+            return out.reshape(x.shape)
+        # no pipe mesh: same stacked params, sequential execution
+        for i in range(self.depth):
+            x = block(take(stacked, i), x)
+        return x
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True,
                  kv_len: int | None = None):
+        if self.pipeline_stages > 1:
+            assert self.depth % self.pipeline_stages == 0, \
+                (self.depth, self.pipeline_stages)
+            assert self.moe_experts == 0 and self.dropout == 0.0, \
+                "pp composes with dense dropout-free stacks (config.py)"
+            y = self._pipelined_stack(
+                x, kv_len if kv_len is not None else x.shape[1])
+            return nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype,
+                                name="norm")(y)
         block_cls, moe_cls = ViTBlock, MoEViTBlock
         if self.remat:
             block_cls = nn.remat(ViTBlock, static_argnums=(2, 3))

@@ -139,6 +139,14 @@ class ViViT(nn.Module):
     moe_experts: int = 0
     moe_every: int = 2
     moe_capacity_factor: float = 1.25
+    # pipeline_stages > 1: the SPACE transformer's depth splits into
+    # GPipe stages over a "pipe" mesh axis (config.pp;
+    # parallel/pipeline.py).  The temporal transformer stays sequential —
+    # its per-frame CLS sequence is tiny.  Requires dropout == 0 and
+    # depth % stages == 0; stacks the space-block params (see
+    # layers.ViTTransformer.pipeline_stages).
+    pipeline_stages: int = 0
+    pipeline_microbatches: int = 0
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -167,6 +175,8 @@ class ViViT(nn.Module):
             attention_impl=self.attention_impl, remat=self.remat,
             moe_experts=self.moe_experts, moe_every=self.moe_every,
             moe_capacity_factor=self.moe_capacity_factor,
+            pipeline_stages=self.pipeline_stages,
+            pipeline_microbatches=self.pipeline_microbatches,
             dtype=self.dtype, name="space_transformer")
         t_impl = (self.attention_impl if self.temporal_attention_impl is None
                   else self.temporal_attention_impl)

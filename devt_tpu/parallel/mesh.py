@@ -9,17 +9,33 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
-def make_mesh(dp: int = -1, mp: int = 1, devices=None) -> Mesh:
-    """2-D ``(data, model)`` mesh.  ``dp=-1`` uses all devices / mp.
+def make_mesh(dp: int = -1, mp: int = 1, pp: int = 1, devices=None) -> Mesh:
+    """2-D ``(data, model)`` mesh — or ``(data, pipe)`` when ``pp > 1``.
+    ``dp=-1`` uses all devices / (mp·pp).
 
     On a multi-chip slice the axes ride ICI; XLA lowers the psum/all-gather
     that GSPMD inserts onto the torus links.  Execution strategy over the
     mesh is chosen per step by parallel/train_step.py: shard_map over
     ``data`` when mp == 1 (fused Pallas kernels stay hot per device),
-    GSPMD with the Megatron rules when mp > 1.
+    GSPMD with the Megatron rules when mp > 1, and the GPipe schedule
+    over the ``pipe`` axis when pp > 1 (parallel/pipeline.py — composes
+    with DP as shard_map over both axes).
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
+    if pp > 1:
+        if mp != 1:
+            raise ValueError("pp composes with dp only (mp must be 1); "
+                             f"got mp={mp} pp={pp}")
+        from devt_tpu.parallel.pipeline import PIPE_AXIS
+        if dp == -1:
+            if n % pp:
+                raise ValueError(f"{n} devices not divisible by pp={pp}")
+            dp = n // pp
+        if dp * pp > n:
+            raise ValueError(f"mesh {dp}x{pp} exceeds {n} devices")
+        grid = np.asarray(devices[: dp * pp]).reshape(dp, pp)
+        return Mesh(grid, (DATA_AXIS, PIPE_AXIS))
     if dp == -1:
         if n % mp:
             raise ValueError(f"{n} devices not divisible by mp={mp}")

@@ -33,6 +33,8 @@ runs shard_map DP outside and this schedule inside, exactly like the
 
 from __future__ import annotations
 
+import contextlib
+import threading
 from typing import Any, Callable
 
 import jax
@@ -40,6 +42,29 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 PIPE_AXIS = "pipe"
+
+_pp_gate = threading.local()
+
+
+@contextlib.contextmanager
+def pipeline_scope(mesh: Mesh):
+    """Trace-time context: the pp train/eval step factories
+    (parallel/train_step.py) set this around their shard_map trace so
+    ``ViTTransformer`` (models/layers.py) knows its body is executing
+    inside a shard_map with a ``pipe`` axis and routes its stacked block
+    stack through :func:`pipeline_apply`.  Re-entrant, thread-local,
+    scope-bounded — same discipline as ops/attention.pallas_disabled."""
+    prev = getattr(_pp_gate, "mesh", None)
+    _pp_gate.mesh = mesh
+    try:
+        yield
+    finally:
+        _pp_gate.mesh = prev
+
+
+def active_pipe_mesh():
+    """The mesh set by :func:`pipeline_scope`, or None."""
+    return getattr(_pp_gate, "mesh", None)
 
 
 def stage_params(stacked_local) -> Any:

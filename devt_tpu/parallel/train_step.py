@@ -80,7 +80,9 @@ def _tp_scope_for(mesh, config: Config | None):
 
 def mesh_strategy(mesh, config: Config | None = None) -> str:
     """Execution strategy for a mesh: ``single`` | ``dp_shard_map`` |
-    ``gspmd``.  ``config.dp_mode`` can force ``gspmd`` for an mp==1 mesh
+    ``pp_shard_map`` | ``gspmd``.  A mesh with a >1 ``pipe`` axis runs
+    the GPipe schedule (parallel/pipeline.py) inside a shard_map over
+    both axes.  ``config.dp_mode`` can force ``gspmd`` for an mp==1 mesh
     (escape hatch), or pick ``fsdp`` (ZeRO-3: the state lives sharded over
     data — parallel/fsdp.py — and executes as a gspmd trace, computation
     following the data); ``auto`` picks shard_map so the Pallas kernels
@@ -88,6 +90,9 @@ def mesh_strategy(mesh, config: Config | None = None) -> str:
     if mesh is None or mesh.size == 1:
         return "single"
     shape = dict(mesh.shape)
+    from devt_tpu.parallel.pipeline import PIPE_AXIS
+    if shape.get(PIPE_AXIS, 1) > 1:
+        return "pp_shard_map"
     if shape.get(MODEL_AXIS, 1) > 1 or DATA_AXIS not in shape:
         return "gspmd"
     if config is not None and getattr(config, "dp_mode", "auto") in (
@@ -158,7 +163,8 @@ def _gspmd_sharding_hooks(mesh, config: Config | None):
 def _make_step_body(model, config: Config,
                     axis_name: str | None = None,
                     constrain_params: Callable | None = None,
-                    constrain_grads: Callable | None = None) -> Callable:
+                    constrain_grads: Callable | None = None,
+                    pipe_axis: str | None = None) -> Callable:
     """Un-jitted ``(state, batch, rng) -> (state, metrics)`` — one full
     fwd+bwd+update.  Shared by the single-step and multi-step executors.
 
@@ -167,6 +173,13 @@ def _make_step_body(model, config: Config,
     mask would give) and grads/loss/model-state are pmean'd over ICI
     before the update, so every replica applies the identical
     global-batch update to its replicated params.
+
+    With ``pipe_axis`` set the body also runs inside a GPipe shard_map
+    (state replicated over the pipe axis; each pipe device's backward
+    produces nonzero grads only for ITS stage's slice of the stacked
+    "pb_*" block params): stacked grads psum over the pipe axis to
+    reassemble the full stack, everything else — computed identically on
+    every pipe device — pmeans.
     """
     accum = max(config.accum_steps, 1)
 
@@ -221,6 +234,21 @@ def _make_step_body(model, config: Config,
             aux = {k: jax.lax.pmean(v, axis_name) for k, v in aux.items()}
             new_ms = _pmean_floats(new_ms, axis_name)
 
+        if pipe_axis is not None:
+            from jax.tree_util import tree_map_with_path
+
+            def red(path, g):
+                stage_sharded = any(
+                    str(getattr(p, "key", "")).startswith("pb_")
+                    for p in path)
+                return jax.lax.psum(g, pipe_axis) if stage_sharded \
+                    else jax.lax.pmean(g, pipe_axis)
+
+            grads = tree_map_with_path(red, grads)
+            loss = jax.lax.pmean(loss, pipe_axis)
+            aux = {k: jax.lax.pmean(v, pipe_axis) for k, v in aux.items()}
+            new_ms = _pmean_floats(new_ms, pipe_axis)
+
         if constrain_grads is not None:
             grads = constrain_grads(grads)
         new_state = state.apply_gradients(grads, new_ms)
@@ -269,6 +297,23 @@ def make_train_step(model, config: Config, mesh=None) -> Callable:
         body = _make_step_body(_sync_bn(model), config, axis_name=DATA_AXIS)
         return jax.jit(_shard_map_dp(body, mesh, P(DATA_AXIS)),
                        donate_argnums=(0,))
+    if strategy == "pp_shard_map":
+        from devt_tpu.parallel.pipeline import PIPE_AXIS, pipeline_scope
+
+        body = _make_step_body(model, config, axis_name=DATA_AXIS,
+                               pipe_axis=PIPE_AXIS)
+
+        def traced(state, batch, rng):
+            # scope active while the shard_map body traces, so the model's
+            # ViTTransformer routes its stacked stack through the GPipe
+            # schedule (models/layers.py)
+            with pipeline_scope(mesh):
+                return jax.shard_map(
+                    body, mesh=mesh,
+                    in_specs=(P(), P(DATA_AXIS), P()),
+                    out_specs=(P(), P()), check_vma=False)(
+                        state, batch, rng)
+        return jax.jit(traced, donate_argnums=(0,))
     if strategy == "gspmd":
         cp, cg = _gspmd_sharding_hooks(mesh, config)
         body = _make_step_body(model, config, constrain_params=cp,
@@ -300,13 +345,19 @@ def make_multi_step(model, config: Config, n_steps: int,
     shard_map replica, so the Pallas kernels serve every unrolled step.
     """
     strategy = mesh_strategy(mesh, config)
-    axis = DATA_AXIS if strategy == "dp_shard_map" else None
-    if axis is not None:
+    axis = DATA_AXIS if strategy in ("dp_shard_map", "pp_shard_map") \
+        else None
+    if strategy == "dp_shard_map":
         model = _sync_bn(model)
     cp, cg = (_gspmd_sharding_hooks(mesh, config)
               if strategy == "gspmd" else (None, None))
+    pipe = None
+    if strategy == "pp_shard_map":
+        from devt_tpu.parallel.pipeline import PIPE_AXIS
+        pipe = PIPE_AXIS
     body = _make_step_body(model, config, axis_name=axis,
-                           constrain_params=cp, constrain_grads=cg)
+                           constrain_params=cp, constrain_grads=cg,
+                           pipe_axis=pipe)
 
     def multi_step(state: TrainState, batches, rng):
         def scan_body(carry, batch):
@@ -320,6 +371,17 @@ def make_multi_step(model, config: Config, n_steps: int,
     if strategy == "dp_shard_map":
         return jax.jit(_shard_map_dp(multi_step, mesh, P(None, DATA_AXIS)),
                        donate_argnums=(0,))
+    if strategy == "pp_shard_map":
+        from devt_tpu.parallel.pipeline import pipeline_scope
+
+        def traced(state, batches, rng):
+            with pipeline_scope(mesh):
+                return jax.shard_map(
+                    multi_step, mesh=mesh,
+                    in_specs=(P(), P(None, DATA_AXIS), P()),
+                    out_specs=(P(), P()), check_vma=False)(
+                        state, batches, rng)
+        return jax.jit(traced, donate_argnums=(0,))
     if strategy == "gspmd":
         tp_scope = _tp_scope_for(mesh, config)
 
@@ -355,10 +417,18 @@ def make_eval_step(model, config: Config, mesh=None) -> Callable:
         return loss, aux
 
     strategy = mesh_strategy(mesh, config)
-    if strategy == "dp_shard_map":
+    if strategy in ("dp_shard_map", "pp_shard_map"):
+        pipe = strategy == "pp_shard_map"
+
         def body(state, batch):
             loss, aux = eval_body(state, batch, axis_name=DATA_AXIS)
             loss = jax.lax.pmean(loss, DATA_AXIS)
+            if pipe:
+                from devt_tpu.parallel.pipeline import PIPE_AXIS
+
+                # forward output is psum-replicated across pipe stages —
+                # the pmean is a consistency no-op, not a reduction
+                loss = jax.lax.pmean(loss, PIPE_AXIS)
 
             def rep(x):
                 x = jnp.asarray(x)
@@ -370,9 +440,19 @@ def make_eval_step(model, config: Config, mesh=None) -> Callable:
 
             return loss, jax.tree_util.tree_map(rep, aux)
 
-        return jax.jit(jax.shard_map(
-            body, mesh=mesh, in_specs=(P(), P(DATA_AXIS)),
-            out_specs=(P(), P()), check_vma=False))
+        def run(state, batch):
+            if not pipe:
+                return jax.shard_map(
+                    body, mesh=mesh, in_specs=(P(), P(DATA_AXIS)),
+                    out_specs=(P(), P()), check_vma=False)(state, batch)
+            from devt_tpu.parallel.pipeline import pipeline_scope
+
+            with pipeline_scope(mesh):
+                return jax.shard_map(
+                    body, mesh=mesh, in_specs=(P(), P(DATA_AXIS)),
+                    out_specs=(P(), P()), check_vma=False)(state, batch)
+
+        return jax.jit(run)
 
     if strategy == "gspmd":
         tp_scope = _tp_scope_for(mesh, config)

@@ -67,6 +67,8 @@ def build_model(config: Config) -> nn.Module:
                      moe_experts=config.moe_experts,
                      moe_every=config.moe_every,
                      moe_capacity_factor=config.moe_capacity_factor,
+                     pipeline_stages=config.pp if config.pp > 1 else 0,
+                     pipeline_microbatches=config.pp_microbatches,
                      remat=config.remat, dtype=dtype)
 
     if name == "tpn":

@@ -57,7 +57,7 @@ class Trainer:
         self.config = config
         self.callbacks = list(callbacks)
         self.logger = logger or JsonlLogger(name=config.name)
-        self.mesh = mesh or (make_mesh(config.dp, config.mp)
+        self.mesh = mesh or (make_mesh(config.dp, config.mp, config.pp)
                              if use_mesh else None)
         self.buffers = RunningBuffers()
         self._rng = jax.random.PRNGKey(config.seed)
