@@ -14,9 +14,14 @@ Parity targets (reference transform stacks):
 Outputs are channels-last float32 numpy (HWC / THWC) — the TPU-native
 layout; torch's CHW is a torchvision-ism the device never sees.
 
-The AutoAugment here implements the torchvision IMAGENET policy (25
-sub-policies of paired (op, p, magnitude) — Policy of Cubuk et al.) with
-PIL kernels, which is what torchvision executes under the hood.
+The AutoAugment here implements torchvision's ``AutoAugment()`` defaults
+exactly — the IMAGENET policy (25 sub-policies of paired (op, p,
+magnitude) — Cubuk et al.), 10 magnitude bins, NEAREST interpolation,
+black fill, truncating pixel translates — with PIL kernels, which is what
+torchvision's PIL path executes under the hood.  Pixel-exact parity is
+pinned by tests/test_transform_golden.py against an independent
+transcription of torchvision's op lowering plus committed golden bytes
+(torchvision itself is not installable in this zero-egress image).
 """
 
 from __future__ import annotations
@@ -38,12 +43,16 @@ KINETICS_STD = np.array([0.22803, 0.22145, 0.216989], np.float32)
 
 
 def resize_shorter(img: Image.Image, size: int) -> Image.Image:
-    """torchvision ``Resize(int)``: shorter side → size, keep aspect."""
+    """torchvision ``Resize(int)``: shorter side → size, keep aspect.
+
+    The long side TRUNCATES (``int(size * long / short)``) — torchvision's
+    exact formula, not a round (tests/test_transform_golden.py pins it).
+    """
     w, h = img.size
     if w <= h:
-        nw, nh = size, max(int(round(h * size / w)), 1)
+        nw, nh = size, max(int(size * h / w), 1)
     else:
-        nw, nh = max(int(round(w * size / h)), 1), size
+        nw, nh = max(int(size * w / h), 1), size
     return img.resize((nw, nh), Image.BILINEAR)
 
 
@@ -70,8 +79,12 @@ def random_resized_crop(img: Image.Image, size: int, rng: random.Random,
         if 0 < cw <= w and 0 < ch <= h:
             left = rng.randint(0, w - cw)
             top = rng.randint(0, h - ch)
-            return img.resize((size, size), Image.BILINEAR,
-                              box=(left, top, left + cw, top + ch))
+            # crop THEN resize (torchvision resized_crop): PIL's
+            # resize(box=) is NOT equivalent — its bilinear taps sample
+            # source pixels OUTSIDE the box at the borders, where a crop
+            # clamps (pinned by tests/test_transform_golden.py)
+            return img.crop((left, top, left + cw, top + ch)).resize(
+                (size, size), Image.BILINEAR)
     # fallback: center crop at clamped aspect
     in_ratio = w / h
     if in_ratio < ratio[0]:
@@ -81,37 +94,47 @@ def random_resized_crop(img: Image.Image, size: int, rng: random.Random,
     else:
         cw, ch = w, h
     left, top = (w - cw) // 2, (h - ch) // 2
-    return img.resize((size, size), Image.BILINEAR,
-                      box=(left, top, left + cw, top + ch))
+    return img.crop((left, top, left + cw, top + ch)).resize(
+        (size, size), Image.BILINEAR)
 
 
 # ---------------------------------------------------------------------------
 # AutoAugment (IMAGENET policy)
 # ---------------------------------------------------------------------------
 
-_FILL = (128, 128, 128)
+# torchvision transforms.AutoAugment() defaults — what the reference
+# constructs (MMX_Frame_dl.py:67): interpolation=NEAREST, fill=None
+# (PIL fills affine dead zones with black).  The geometric ops below are
+# the PIL-path lowering of torchvision's _apply_op: shear is F.affine
+# with center=[0, 0] and shear angle atan(mag), whose inverse matrix
+# collapses to (1, ±mag, 0, 0, 1, 0); translate magnitudes TRUNCATE to
+# whole pixels (int(magnitude)) with the inverse-matrix sign (positive
+# magnitude moves content right/down).  Pinned pixel-exactly against an
+# independent transcription of torchvision's _get_inverse_affine_matrix
+# in tests/test_transform_golden.py.
+_FILL = (0, 0, 0)
 
 
 def _shear_x(img, mag):
     return img.transform(img.size, Image.AFFINE, (1, mag, 0, 0, 1, 0),
-                         Image.BILINEAR, fillcolor=_FILL)
+                         Image.NEAREST, fillcolor=_FILL)
 
 
 def _shear_y(img, mag):
     return img.transform(img.size, Image.AFFINE, (1, 0, 0, mag, 1, 0),
-                         Image.BILINEAR, fillcolor=_FILL)
+                         Image.NEAREST, fillcolor=_FILL)
 
 
 def _translate_x(img, mag):
     return img.transform(img.size, Image.AFFINE,
-                         (1, 0, mag * img.size[0], 0, 1, 0),
-                         Image.BILINEAR, fillcolor=_FILL)
+                         (1, 0, -int(mag * img.size[0]), 0, 1, 0),
+                         Image.NEAREST, fillcolor=_FILL)
 
 
 def _translate_y(img, mag):
     return img.transform(img.size, Image.AFFINE,
-                         (1, 0, 0, 0, 1, mag * img.size[1]),
-                         Image.BILINEAR, fillcolor=_FILL)
+                         (1, 0, 0, 0, 1, -int(mag * img.size[1])),
+                         Image.NEAREST, fillcolor=_FILL)
 
 
 def _rotate(img, mag):
@@ -180,8 +203,13 @@ def _aa_magnitude(op: str, bin_idx, rng: random.Random):
         "Sharpness": (0.9, True),
     }.get(op, (None, False))
     if op == "Posterize":
-        return 8 - int(np.ceil(bin_idx / 9 * 4))     # 8..4 bits
+        # torchvision: 8 - (arange(10) / (9 / 4)).round() → 8..4 bits;
+        # round (not ceil): bins 5,6 → 6,5 and 7,8 → 5,4
+        return 8 - int(np.round(bin_idx * 4.0 / 9.0))
     if op == "Solarize":
+        # torchvision: linspace(255, 0, 10)[bin] used as a float
+        # threshold (invert pixels >= t); this integer form keeps the
+        # identical pixel partition for every bin (pinned by test)
         return 255 - int(bin_idx / 9 * 255)           # 255..0
     mag = span * bin_idx / 9.0
     if signed and rng.random() < 0.5:
