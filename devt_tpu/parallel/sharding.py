@@ -84,12 +84,19 @@ def shard_train_state(state, mesh: Mesh):
     for nothing.  The optax state's mu/nu pytrees carry the parameter
     paths (``…/mu/encoder_0/…/to_qkv/kernel``), so the same path-substring
     rules land each moment exactly where its parameter lives.
+
+    On a mesh WITHOUT a ``model`` axis (the ``(data, pipe)`` PP mesh —
+    parallel/mesh.make_mesh with pp > 1) the Megatron rules don't apply:
+    the pp shard_map strategy takes the whole state replicated
+    (``in_specs=P()``, train_step.py), so everything places replicated.
     """
+    tp = MODEL_AXIS in mesh.shape
+
     def place(path, leaf):
         if not hasattr(leaf, "shape"):
             return leaf
         name = "/".join(_key_str(k) for k in path)
-        spec = _spec_for(name, getattr(leaf, "ndim", 0))
+        spec = _spec_for(name, getattr(leaf, "ndim", 0)) if tp else P()
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(place, state)
@@ -97,7 +104,9 @@ def shard_train_state(state, mesh: Mesh):
 
 def shard_variables(variables, mesh: Mesh):
     """Place a variables pytree on the mesh: params by the TP rules
-    (replicated over ``data``), everything else fully replicated."""
+    (replicated over ``data``), everything else fully replicated.
+    Meshes without a ``model`` axis (e.g. the PP ``(data, pipe)`` mesh)
+    place everything replicated — same rationale as shard_train_state."""
     def place_params(spec_tree, tree):
         return jax.tree_util.tree_map(
             lambda leaf, spec: jax.device_put(
@@ -106,7 +115,9 @@ def shard_variables(variables, mesh: Mesh):
 
     out = dict(variables)
     if "params" in out:
-        specs = param_partition_specs(out["params"])
+        specs = (param_partition_specs(out["params"])
+                 if MODEL_AXIS in mesh.shape
+                 else jax.tree_util.tree_map(lambda _: P(), out["params"]))
         out["params"] = place_params(specs, out["params"])
     for coll in out:
         if coll == "params":
