@@ -471,17 +471,15 @@ def _ensure_corpus(tmp_root: str) -> str:
     return os.path.join(tmp_root, "out.csv")
 
 
-def bench_e2e_pipeline(tmp_root: str = "/tmp/devt_bench_corpus") -> dict:
-    """Config 5: raw frame decode → augment → train, host overlapped with
-    device steps (vid model over the native decoder)."""
-    import time
-
+def _e2e_setup(tmp_root: str):
+    """Shared decode→train rig: synthetic-PNG corpus, native-decoder
+    Loader (u8 wire), vid FrameTransformer, compiled train step."""
     import jax
     import jax.numpy as jnp
 
     from devt_tpu.config import Config
     from devt_tpu.data.mmx_frame import MMXLightDataset
-    from devt_tpu.data.pipeline import Loader, device_prefetch
+    from devt_tpu.data.pipeline import Loader
     from devt_tpu.data import manifests
     from devt_tpu.models.frame_transformer import FrameTransformer
     from devt_tpu.parallel.train_step import make_train_step
@@ -518,6 +516,17 @@ def bench_e2e_pipeline(tmp_root: str = "/tmp/devt_bench_corpus") -> dict:
     placed0 = {k: jnp.asarray(v) for k, v in first.items()}
     state, metrics = step(state, placed0, rng)   # compile
     float(metrics["loss"])
+    return cfg, loader, state, step, rng
+
+
+def bench_e2e_pipeline(tmp_root: str = "/tmp/devt_bench_corpus") -> dict:
+    """Config 5: raw frame decode → augment → train, host overlapped with
+    device steps (vid model over the native decoder)."""
+    import time
+
+    from devt_tpu.data.pipeline import device_prefetch
+
+    cfg, loader, state, step, rng = _e2e_setup(tmp_root)
 
     def epoch_batches(n_epochs: int):
         for _ in range(n_epochs):
@@ -539,6 +548,75 @@ def bench_e2e_pipeline(tmp_root: str = "/tmp/devt_bench_corpus") -> dict:
     rate = n / (time.perf_counter() - t0)
     return {"name": "e2e_decode_to_train", "value": round(rate, 2),
             "unit": "samples/sec (host+device overlapped)"}
+
+
+def bench_e2e_sustained(tmp_root: str = "/tmp/devt_bench_corpus",
+                        window_s: float = 180.0) -> dict:
+    """Sustained chip-fed training (VERDICT r3 #8): several minutes of
+    decode→augment→H2D→train through the native decoder at steady state,
+    replacing the single noisy 12-batch e2e snapshot.  Reports the
+    steady-state rate, per-30s slices (rate stability), and the
+    host-wait fraction — the share of wall time the consumer thread
+    spent blocked on the prefetch queue (host-bound) versus riding ahead
+    of the device (overlapped)."""
+    import time
+
+    from devt_tpu.data.pipeline import device_prefetch
+
+    cfg, loader, state, step, rng = _e2e_setup(tmp_root)
+
+    def forever():
+        while True:
+            yield from loader
+
+    stream = device_prefetch(forever(), depth=2)
+    for _ in range(8):                       # settle decode pool + queue
+        state, metrics = step(state, next(stream), rng)
+    float(metrics["loss"])
+
+    n = 0
+    t_wait = 0.0
+    slices = []
+    slice_n, slice_t0 = 0, time.perf_counter()
+    t0 = time.perf_counter()
+    while True:
+        tw = time.perf_counter()
+        batch = next(stream)
+        t_wait += time.perf_counter() - tw
+        state, metrics = step(state, batch, rng)
+        n += cfg.batch_size
+        slice_n += cfg.batch_size
+        if time.perf_counter() - slice_t0 >= 30.0:
+            # sync to COMPLETION before cutting the slice — async
+            # dispatch otherwise lets the host run arbitrarily far ahead
+            # of the chip and the slices would report dispatch rate (the
+            # first run of this bench measured exactly that: 13.9/s
+            # dispatched, 6.9/s completed, 180 s of device backlog
+            # drained after the loop)
+            float(metrics["loss"])
+            now = time.perf_counter()
+            slices.append(round(slice_n / (now - slice_t0), 2))
+            slice_n, slice_t0 = 0, now
+            if now - t0 >= window_s:
+                break
+    float(metrics["loss"])                    # drain in-flight device work
+    total = time.perf_counter() - t0
+    rate = n / total
+    return {"name": "e2e_sustained_train",
+            "value": round(rate, 2),
+            "unit": "samples/sec (sustained, host+device overlapped)",
+            "detail": {"window_s": round(total, 1),
+                       "samples": n,
+                       "per_30s_rates": slices,
+                       "host_wait_fraction": round(t_wait / total, 3),
+                       "note": "synthetic-PNG tmpfs corpus through the "
+                               "native decoder on this 1-core host over "
+                               "the ~37 MB/s tunnel; slices sync to "
+                               "completion, so per_30s_rates IS the "
+                               "steady state; host_wait_fraction is the "
+                               "share of wall time blocked on the "
+                               "prefetch queue (host-bound) vs riding "
+                               "ahead of the device"}}
 
 
 def bench_pipeline_architecture(tmp_root: str = "/tmp/devt_bench_corpus"
@@ -728,8 +806,15 @@ def _timed_steps(step, state, batch, iters: int = 20):
     import jax
 
     rng = jax.random.PRNGKey(1)
-    state, metrics = step(state, batch, rng)     # compile + warm
-    float(metrics["loss"])
+    # Warm TWICE: under a mesh-sharded step the first call's donated-in
+    # state is plain single-device but its OUTPUT carries a NamedSharding,
+    # so call 2 compiles a second program for the resharded input.  A
+    # single warm would amortize that relay-side compile (~10 s) into the
+    # timed loop (the r4 first run recorded exactly that: 26 clips/s with
+    # a 60x "overhead" that was one compile / 20 iters).
+    for _ in range(2):
+        state, metrics = step(state, batch, rng)
+        float(metrics["loss"])
     t0 = time.perf_counter()
     for _ in range(iters):
         state, metrics = step(state, batch, rng)
@@ -960,6 +1045,23 @@ def bench_fsdp_vivit_train(batch_size: int = 32) -> dict:
                     "at n=1)"}
 
 
+def _release_device_memory():
+    """Free every live device buffer + drop compiled programs between
+    benches.  19 benches in one process otherwise ACCUMULATE HBM (each
+    holds model states, donated aliases, and executable constants) — the
+    r4 first `--all` run exhausted the chip by bench 18 and lost the
+    moe/fsdp/north-star rows.  Compiles stay warm in the relay-side
+    cache, so clear_caches costs seconds, not recompiles."""
+    import jax
+
+    for arr in jax.live_arrays():
+        try:
+            arr.delete()
+        except Exception:  # noqa: BLE001  (already donated/deleted)
+            pass
+    jax.clear_caches()
+
+
 def run_all() -> list[dict]:
     results = []
     for fn in (bench_single_clip_cpu_fwd, bench_pyramid_inference,
@@ -968,7 +1070,8 @@ def run_all() -> list[dict]:
                bench_vivit_dropout_train, bench_vivit_tokens_train,
                bench_distillation_train,
                bench_distillation_train_b8,
-               bench_e2e_pipeline, bench_pipeline_architecture,
+               bench_e2e_pipeline, bench_e2e_sustained,
+               bench_pipeline_architecture,
                bench_p50_preprocess_to_logits,
                bench_dp_shard_map1_train, bench_eval_shard_map1,
                bench_tp_block_mp1,
@@ -979,6 +1082,7 @@ def run_all() -> list[dict]:
             results.append({"name": fn.__name__, "error":
                             f"{type(e).__name__}: {e}"})
         print(json.dumps(results[-1]), file=sys.stderr)
+        _release_device_memory()
     return results
 
 

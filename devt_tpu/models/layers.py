@@ -382,8 +382,14 @@ class MoEViTBlock(nn.Module):
             ).reshape(-1)
         cf = (self.capacity_factor if not deterministic
               else max(self.capacity_factor, self.eval_capacity_factor))
+        # route per sequence row: per-row capacity keeps the dispatch
+        # tensor linear in batch size (the global formulation is
+        # quadratic in total tokens and OOMs at real batches — see
+        # moe_ffn_dense), and matches the per-shard capacity the EP
+        # deployment path uses
         y, aux = moe_ffn_dense(moe_params, h.reshape(-1, d),
-                               capacity_factor=cf, valid=valid)
+                               capacity_factor=cf, valid=valid,
+                               group_size=h.shape[1])
         self.sow("losses", "moe_aux", aux)
         y = nn.Dropout(self.dropout)(y.reshape(h.shape),
                                      deterministic=deterministic)

@@ -112,7 +112,8 @@ def _expert_ffn(params_local, h):
         + params_local["b2"].astype(dt)[:, None, :]
 
 
-def moe_ffn_dense(params, x, capacity_factor: float = 1.25, valid=None):
+def moe_ffn_dense(params, x, capacity_factor: float = 1.25, valid=None,
+                  group_size: int | None = None):
     """Single-device reference execution: all experts materialised.
 
     x: (T, D).  Returns (y (T, D), aux_loss).  The expert-parallel path
@@ -120,7 +121,30 @@ def moe_ffn_dense(params, x, capacity_factor: float = 1.25, valid=None):
     Dispatch/combine/expert einsums run in x.dtype (f32 in == the exact
     f32 formulation; bf16 in == MXU-rate expert compute, the standard
     MoE mixed-precision split — routing stays f32 either way).
+
+    ``group_size``: route in independent groups of this many tokens
+    (T must divide) with per-group capacity, the aux loss averaged over
+    groups.  The global formulation's dispatch tensor is (T, E, C) with
+    C ∝ T — **quadratic in T** (a B=32 ViViT batch is 10⁵ tokens; its
+    global dispatch would be terabytes and OOMed the chip at compile,
+    r4 bench log).  Grouped routing is linear in T and is also the
+    semantics the expert-parallel path already has (per-shard capacity,
+    :func:`moe_ffn_local`).  Callers with batch structure should group
+    by row (models/layers.py MoEViTBlock routes per sequence row).
     """
+    if group_size is not None and x.shape[0] != group_size:
+        t, d = x.shape
+        assert t % group_size == 0, (t, group_size)
+        g = t // group_size
+        per_group = (lambda xs, vs: moe_ffn_dense(
+            params, xs, capacity_factor, valid=vs))
+        if valid is None:
+            y, aux = jax.vmap(lambda xs: per_group(xs, None))(
+                x.reshape(g, group_size, d))
+        else:
+            y, aux = jax.vmap(per_group)(x.reshape(g, group_size, d),
+                                         valid.reshape(g, group_size))
+        return y.reshape(t, d), jnp.mean(aux)
     n_experts = params["router"].shape[-1]
     t = x.shape[0]
     capacity = max(int(t / n_experts * capacity_factor), 1)

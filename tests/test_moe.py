@@ -358,3 +358,57 @@ def test_invalid_tokens_never_consume_capacity():
     y_ref, _ = moe.moe_ffn_dense(params, x[4:], capacity_factor=2.0)
     np.testing.assert_allclose(np.asarray(y[4:]), np.asarray(y_ref),
                                atol=1e-6, rtol=1e-6)
+
+
+def test_grouped_routing_matches_per_group_dense():
+    """``group_size`` routes each group independently with per-group
+    capacity — identical to looping the dense path group by group
+    (outputs AND aux mean), with or without a pad mask.  This is the
+    linear-in-T formulation MoEViTBlock uses per sequence row; the
+    global (T, E, C) dispatch is quadratic in T (see moe_ffn_dense)."""
+    params, x = _setup(seed=21, t=64)
+    y, aux = moe.moe_ffn_dense(params, x, group_size=16)
+    xs = x.reshape(4, 16, -1)
+    outs, auxs = zip(*(moe.moe_ffn_dense(params, xs[i]) for i in range(4)))
+    np.testing.assert_allclose(np.asarray(y),
+                               np.asarray(jnp.concatenate(outs, 0)),
+                               atol=1e-6, rtol=1e-6)
+    np.testing.assert_allclose(float(aux),
+                               float(jnp.mean(jnp.stack(auxs))), atol=1e-6)
+    valid = (jax.random.uniform(jax.random.PRNGKey(22), (64,)) > 0.3)
+    valid = valid.astype(jnp.float32)
+    yv, auxv = moe.moe_ffn_dense(params, x, valid=valid, group_size=16)
+    vs = valid.reshape(4, 16)
+    outs, auxs = zip(*(moe.moe_ffn_dense(params, xs[i], valid=vs[i])
+                       for i in range(4)))
+    np.testing.assert_allclose(np.asarray(yv),
+                               np.asarray(jnp.concatenate(outs, 0)),
+                               atol=1e-6, rtol=1e-6)
+    np.testing.assert_allclose(float(auxv),
+                               float(jnp.mean(jnp.stack(auxs))), atol=1e-6)
+    # group_size == T is the ungrouped path (no vmap wrapper)
+    y1, aux1 = moe.moe_ffn_dense(params, x, group_size=64)
+    y0, aux0 = moe.moe_ffn_dense(params, x)
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y0))
+
+
+def test_moe_vit_block_dispatch_is_linear_in_batch():
+    """The block's per-row routing keeps the dispatch tensor linear in
+    batch size: the jaxpr's largest intermediate grows ~2x from B=2 to
+    B=4, not ~4x (the global formulation's (T, E, C) with C ∝ T OOMed
+    the chip at real batches — r4 bench log)."""
+    from devt_tpu.models.layers import MoEViTBlock
+
+    blk = MoEViTBlock(dim=16, heads=2, dim_head=8, mlp_dim=32,
+                      n_experts=4, attention_impl="xla")
+
+    def largest_intermediate(b):
+        x = jnp.zeros((b, 32, 16))
+        p = blk.init({"params": jax.random.PRNGKey(1)}, x)["params"]
+        jaxpr = jax.make_jaxpr(
+            lambda p, x: blk.apply({"params": p}, x))(p, x)
+        return max(int(np.prod(v.aval.shape))
+                   for eqn in jaxpr.jaxpr.eqns for v in eqn.outvars)
+
+    s2, s4 = largest_intermediate(2), largest_intermediate(4)
+    assert s4 <= 2 * s2 + 1, (s2, s4)
