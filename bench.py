@@ -997,10 +997,16 @@ def bench_moe_vivit_train(batch_size: int = 32) -> dict:
 
 
 def bench_fsdp_vivit_train(batch_size: int = 32) -> dict:
-    """FSDP-placed ViViT step on a 1-device mesh — executes as the GSPMD
-    jnp-tier trace with the ZeRO-3 gather/scatter constraints compiled in
-    (no-ops at n=1), so the row bounds the TIER cost FSDP pays versus the
-    shard_map fused tier; the collectives themselves need a pod."""
+    """FSDP-placed ViViT step on a 1-device mesh, BOTH formulations:
+
+    * ``fsdp_shard_map`` (the dp_mode='fsdp' default since r4): explicit
+      ZeRO-3 gather/reduce_scatter inside shard_map, fused Pallas
+      kernels hot — collectives are no-ops at n=1, so this row is the
+      per-device rate an FSDP pod sustains between collectives.
+    * gspmd jnp tier (dp_mode='fsdp_gspmd' / the clipping fallback):
+      traced under pallas_disabled with the sharding constraints
+      compiled in — the r3 formulation this row previously measured.
+    """
     import jax
 
     import numpy as np
@@ -1019,8 +1025,15 @@ def bench_fsdp_vivit_train(batch_size: int = 32) -> dict:
     cfg2 = cfg.replace(dp_mode="fsdp")
     mesh = Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1),
                 (DATA_AXIS, MODEL_AXIS))
-    # mesh_strategy short-circuits 1-device meshes to "single"; build the
-    # gspmd/FSDP step explicitly to measure the tier it would run as
+    # mesh_strategy short-circuits 1-device meshes to "single"; force
+    # each FSDP formulation explicitly to measure the tier it runs as
+    dmesh = Mesh(np.asarray(jax.devices()[:1]), (DATA_AXIS,))
+    _, _, state_sm, _ = _north_star_setup(batch_size)
+    with dmesh:
+        state_sm = shard_train_state(state_sm, dmesh)
+        sm_step = ts._make_fsdp_shard_map(model, cfg2, dmesh, n_steps=None)
+        t_sm = _timed_steps(sm_step, state_sm, batch)
+
     cp, cg = ts._gspmd_sharding_hooks(mesh, cfg2)
     body = ts._make_step_body(model, cfg2, constrain_params=cp,
                               constrain_grads=cg)
@@ -1032,17 +1045,23 @@ def bench_fsdp_vivit_train(batch_size: int = 32) -> dict:
     _, _, state2, _ = _north_star_setup(batch_size)
     with mesh:
         state2 = shard_train_state(state2, mesh)
-        t_fsdp = _timed_steps(jax.jit(traced, donate_argnums=(0,)),
-                              state2, batch)
+        t_gspmd = _timed_steps(jax.jit(traced, donate_argnums=(0,)),
+                               state2, batch)
     return {"name": "fsdp_vivit_train",
-            "value": round(batch_size / t_fsdp, 1),
+            "value": round(batch_size / t_sm, 1),
             "unit": "clips/sec/chip",
             "detail": {"fused_tier_clips_per_sec": round(
                            batch_size / t_direct, 1),
-                       "gspmd_tier_cost": round(t_fsdp / t_direct - 1.0, 4)},
-            "note": "ZeRO-3-placed state + gather/scatter constraints on a "
-                    "1-device mesh (gspmd jnp tier; constraints are no-ops "
-                    "at n=1)"}
+                       "shard_map_overhead_vs_direct": round(
+                           t_sm / t_direct - 1.0, 4),
+                       "gspmd_tier_clips_per_sec": round(
+                           batch_size / t_gspmd, 1),
+                       "gspmd_tier_cost_vs_direct": round(
+                           t_gspmd / t_direct - 1.0, 4)},
+            "note": "dp_mode='fsdp' on a 1-device data mesh: the r4 "
+                    "fsdp_shard_map body (ZeRO-3 collectives explicit, "
+                    "fused Pallas kernels hot; collectives no-op at n=1) "
+                    "vs the r3 gspmd jnp tier it replaced"}
 
 
 def _release_device_memory():

@@ -143,7 +143,11 @@ class Config(Mapping[str, Any]):
                                        # Pallas kernels stay hot per chip);
                                        # "gspmd" forces the pjit path;
                                        # "fsdp" = ZeRO-3: params/moments live
-                                       # sharded over data (parallel/fsdp.py)
+                                       # sharded over data (parallel/fsdp.py,
+                                       # explicit shard_map gather/scatter so
+                                       # the fused kernels stay hot);
+                                       # "fsdp_gspmd" = ZeRO-3 as a gspmd
+                                       # trace (escape hatch)
     remat: bool = False                # jax.checkpoint the transformer stacks
     grad_clip_norm: float = 0.0        # >0: global-norm gradient clipping
     moe_experts: int = 0               # >0: switch-MoE FFNs in the vivit
@@ -197,7 +201,7 @@ class Config(Mapping[str, Any]):
             raise ValueError(
                 "wire_format 'u8_tokens' is the pre-patchified ViT token "
                 "wire — only the vivit model consumes it")
-        if self.dp_mode not in ("auto", "gspmd", "fsdp"):
+        if self.dp_mode not in ("auto", "gspmd", "fsdp", "fsdp_gspmd"):
             raise ValueError(f"unknown dp_mode {self.dp_mode!r}")
         if self.pp > 1:
             if self.mp != 1:

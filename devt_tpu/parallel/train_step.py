@@ -80,13 +80,16 @@ def _tp_scope_for(mesh, config: Config | None):
 
 def mesh_strategy(mesh, config: Config | None = None) -> str:
     """Execution strategy for a mesh: ``single`` | ``dp_shard_map`` |
-    ``pp_shard_map`` | ``gspmd``.  A mesh with a >1 ``pipe`` axis runs
-    the GPipe schedule (parallel/pipeline.py) inside a shard_map over
-    both axes.  ``config.dp_mode`` can force ``gspmd`` for an mp==1 mesh
-    (escape hatch), or pick ``fsdp`` (ZeRO-3: the state lives sharded over
-    data — parallel/fsdp.py — and executes as a gspmd trace, computation
-    following the data); ``auto`` picks shard_map so the Pallas kernels
-    survive scaling."""
+    ``fsdp_shard_map`` | ``pp_shard_map`` | ``gspmd``.  A mesh with a >1
+    ``pipe`` axis runs the GPipe schedule (parallel/pipeline.py) inside a
+    shard_map over both axes.  ``config.dp_mode`` can force ``gspmd`` for
+    an mp==1 mesh (escape hatch), or pick ``fsdp`` (ZeRO-3: the state
+    lives sharded over data — parallel/fsdp.py — and runs the explicit
+    gather/reduce_scatter shard_map body so the fused Pallas kernels stay
+    hot; ``fsdp_gspmd`` keeps the gspmd-trace formulation, which is also
+    where fsdp falls back when global-norm grad clipping is on — the
+    shard_map body would compute a per-shard norm); ``auto`` picks
+    shard_map so the Pallas kernels survive scaling."""
     if mesh is None or mesh.size == 1:
         return "single"
     shape = dict(mesh.shape)
@@ -95,8 +98,12 @@ def mesh_strategy(mesh, config: Config | None = None) -> str:
         return "pp_shard_map"
     if shape.get(MODEL_AXIS, 1) > 1 or DATA_AXIS not in shape:
         return "gspmd"
-    if config is not None and getattr(config, "dp_mode", "auto") in (
-            "gspmd", "fsdp"):
+    mode = getattr(config, "dp_mode", "auto") if config is not None \
+        else "auto"
+    if mode == "fsdp":
+        clip = getattr(config, "grad_clip_norm", 0.0)
+        return "gspmd" if (clip and clip > 0.0) else "fsdp_shard_map"
+    if mode in ("gspmd", "fsdp_gspmd"):
         return "gspmd"
     return "dp_shard_map"
 
@@ -135,7 +142,8 @@ def _gspmd_sharding_hooks(mesh, config: Config | None):
         return None, None
     from jax.sharding import NamedSharding
 
-    if config is not None and getattr(config, "dp_mode", "auto") == "fsdp":
+    if config is not None and getattr(config, "dp_mode", "auto") in (
+            "fsdp", "fsdp_gspmd"):
         from devt_tpu.parallel.fsdp import leaf_spec
         n = dict(mesh.shape).get(DATA_AXIS, 1)
 
@@ -164,7 +172,8 @@ def _make_step_body(model, config: Config,
                     axis_name: str | None = None,
                     constrain_params: Callable | None = None,
                     constrain_grads: Callable | None = None,
-                    pipe_axis: str | None = None) -> Callable:
+                    pipe_axis: str | None = None,
+                    reduce_grads: Callable | None = None) -> Callable:
     """Un-jitted ``(state, batch, rng) -> (state, metrics)`` — one full
     fwd+bwd+update.  Shared by the single-step and multi-step executors.
 
@@ -228,8 +237,13 @@ def _make_step_body(model, config: Config,
             aux = {k: jnp.mean(v) for k, v in stacked_aux.items()}
 
         if axis_name is not None:
-            # the DDP reduction, explicit: grad/loss pmean over ICI
-            grads = jax.lax.pmean(grads, axis_name)
+            # the DDP reduction, explicit: grad/loss pmean over ICI.
+            # ``reduce_grads`` overrides the grad pmean for bodies whose
+            # params are sharded (fsdp_shard_map: sharded leaves already
+            # collected their cross-replica sum via the all_gather
+            # transpose — a pmean of DIFFERENT shards would be wrong)
+            grads = (reduce_grads(grads) if reduce_grads is not None
+                     else jax.lax.pmean(grads, axis_name))
             loss = jax.lax.pmean(loss, axis_name)
             aux = {k: jax.lax.pmean(v, axis_name) for k, v in aux.items()}
             new_ms = _pmean_floats(new_ms, axis_name)
@@ -286,6 +300,64 @@ def _shard_map_dp(fn: Callable, mesh, batch_spec: P) -> Callable:
         out_specs=(P(), P()), check_vma=False)
 
 
+def _make_fsdp_shard_map(model, config: Config, mesh,
+                         n_steps: int | None) -> Callable:
+    """ZeRO-3 inside ``jax.shard_map`` — the fused-Pallas FSDP step.
+
+    The state arrives sharded over ``data`` (parallel/fsdp.py
+    ``shard_train_state``).  Each device all_gathers its param shards at
+    the top of the loss function (``gather_params``); because
+    ``all_gather``'s transpose is ``psum_scatter``, the backward pass IS
+    the gradient reduce_scatter — ``reduce_grads_to_shards`` just fixes
+    the sum→mean scale and pmeans the replicated leaves.  The optimizer
+    then updates only the LOCAL param/moment shards.  Since per-device
+    shapes are concrete inside shard_map, the fused Pallas kernels serve
+    the fwd/bwd exactly like the ``dp_shard_map`` strategy (the gspmd
+    formulation must trace under ``pallas_disabled()`` — chip-measured
+    2.65× step cost, BENCH_DETAIL fsdp_vivit_train).
+
+    PartitionSpecs depend on leaf *shapes*, so the shard_map is built on
+    first call from the actual TrainState and cached (one model/config
+    per factory — the jit cache keys the rest).  ``n_steps`` switches
+    the body to the lax.scan multi-step executor.
+    """
+    from devt_tpu.parallel import fsdp
+
+    n = dict(mesh.shape)[DATA_AXIS]
+    cache: dict = {}
+
+    def build(state):
+        specs = fsdp.train_state_specs(state, n)
+        pspecs = specs.params
+        body = _make_step_body(
+            _sync_bn(model), config, axis_name=DATA_AXIS,
+            constrain_params=lambda p: fsdp.gather_params(p, pspecs),
+            reduce_grads=lambda g: fsdp.reduce_grads_to_shards(
+                g, pspecs, n))
+        if n_steps is None:
+            fn, batch_spec = body, P(DATA_AXIS)
+        else:
+            def fn(st, batches, rng):
+                def scan_body(carry, batch):
+                    return body(carry, batch, rng)
+                st, stacked = jax.lax.scan(scan_body, st, batches)
+                return st, jax.tree_util.tree_map(
+                    lambda v: jnp.mean(v, axis=0), stacked)
+            batch_spec = P(None, DATA_AXIS)
+        return jax.jit(
+            jax.shard_map(fn, mesh=mesh,
+                          in_specs=(specs, batch_spec, P()),
+                          out_specs=(specs, P()), check_vma=False),
+            donate_argnums=(0,))
+
+    def step(state, batch, rng):
+        if "fn" not in cache:
+            cache["fn"] = build(state)
+        return cache["fn"](state, batch, rng)
+
+    return step
+
+
 def make_train_step(model, config: Config, mesh=None) -> Callable:
     """Returns jitted ``train_step(state, batch, rng) -> (state, metrics)``.
 
@@ -297,6 +369,8 @@ def make_train_step(model, config: Config, mesh=None) -> Callable:
         body = _make_step_body(_sync_bn(model), config, axis_name=DATA_AXIS)
         return jax.jit(_shard_map_dp(body, mesh, P(DATA_AXIS)),
                        donate_argnums=(0,))
+    if strategy == "fsdp_shard_map":
+        return _make_fsdp_shard_map(model, config, mesh, n_steps=None)
     if strategy == "pp_shard_map":
         from devt_tpu.parallel.pipeline import PIPE_AXIS, pipeline_scope
 
@@ -345,6 +419,8 @@ def make_multi_step(model, config: Config, n_steps: int,
     shard_map replica, so the Pallas kernels serve every unrolled step.
     """
     strategy = mesh_strategy(mesh, config)
+    if strategy == "fsdp_shard_map":
+        return _make_fsdp_shard_map(model, config, mesh, n_steps=n_steps)
     axis = DATA_AXIS if strategy in ("dp_shard_map", "pp_shard_map") \
         else None
     if strategy == "dp_shard_map":
@@ -404,9 +480,11 @@ def make_eval_step(model, config: Config, mesh=None) -> Callable:
     are kept explicitly: the loss and scalar diagnostics are pmean'd,
     per-sample aux rows (probs/labels/embeddings) are all-gathered in
     batch order, and the contrastive negatives pool is the global batch
-    via ``axis_name`` (train/steps.py).  TP/FSDP meshes keep the GSPMD
-    trace with the Pallas auto-tier disabled (sharded operands cannot
-    partition into a pallas_call).
+    via ``axis_name`` (train/steps.py).  FSDP meshes run the same
+    shard_map body with a param all_gather prelude (state stays ZeRO-3
+    sharded at rest; the fused kernels serve eval too).  TP meshes keep
+    the GSPMD trace with the Pallas auto-tier disabled (sharded operands
+    cannot partition into a pallas_call).
     """
 
     def eval_body(state: TrainState, batch, axis_name=None):
@@ -417,6 +495,36 @@ def make_eval_step(model, config: Config, mesh=None) -> Callable:
         return loss, aux
 
     strategy = mesh_strategy(mesh, config)
+    if strategy == "fsdp_shard_map":
+        from devt_tpu.parallel import fsdp
+
+        n = dict(mesh.shape)[DATA_AXIS]
+        cache: dict = {}
+
+        def fsdp_body(state, batch):
+            full = fsdp.gather_params(state.params, cache["pspecs"])
+            loss, aux = eval_body(state.replace(params=full), batch,
+                                  axis_name=DATA_AXIS)
+            loss = jax.lax.pmean(loss, DATA_AXIS)
+
+            def rep(x):
+                x = jnp.asarray(x)
+                if x.ndim == 0:
+                    return jax.lax.pmean(x, DATA_AXIS)
+                return jax.lax.all_gather(x, DATA_AXIS, axis=0, tiled=True)
+
+            return loss, jax.tree_util.tree_map(rep, aux)
+
+        def run_fsdp(state, batch):
+            if "fn" not in cache:
+                specs = fsdp.train_state_specs(state, n)
+                cache["pspecs"] = specs.params
+                cache["fn"] = jax.jit(jax.shard_map(
+                    fsdp_body, mesh=mesh, in_specs=(specs, P(DATA_AXIS)),
+                    out_specs=(P(), P()), check_vma=False))
+            return cache["fn"](state, batch)
+
+        return run_fsdp
     if strategy in ("dp_shard_map", "pp_shard_map"):
         pipe = strategy == "pp_shard_map"
 

@@ -55,11 +55,14 @@ def test_fsdp_state_physically_shards():
 def test_fsdp_step_matches_single_device():
     """dp_mode='fsdp' trains sharded and reproduces the replicated
     single-device step: same loss, same updated params, and the updated
-    state is still sharded (the optimizer never gathered it)."""
+    state is still sharded (the optimizer never gathered it).  Since r4
+    this runs the explicit shard_map ZeRO-3 body (gather at use via
+    all_gather, whose transpose reduce_scatters the grads) instead of
+    the gspmd trace — same contract, fused kernels stay eligible."""
     cfg, model, state, batch = _tiny_ptn_setup()
     cfg = cfg.replace(dp_mode="fsdp")
     mesh = make_mesh(dp=8, mp=1)
-    assert mesh_strategy(mesh, cfg) == "gspmd"
+    assert mesh_strategy(mesh, cfg) == "fsdp_shard_map"
 
     placed_state = fsdp.shard_train_state(state, mesh)
     placed_batch = shard_batch(batch, mesh)
@@ -136,8 +139,11 @@ def test_fsdp_composes_with_tensor_parallel():
 
 def test_fsdp_with_grad_accumulation():
     """FSDP composes with the lax.scan microbatch accumulator: the
-    sharded accum-2 step reproduces the replicated full-batch step."""
-    cfg, model, state, batch = _tiny_ptn_setup(accum=2)
+    sharded accum-2 step reproduces the replicated full-batch step.
+    (Under shard_map the accumulator splits the PER-DEVICE batch — same
+    convention as dp_shard_map — so the global batch must give each of
+    the 8 devices accum×k samples.)"""
+    cfg, model, state, batch = _tiny_ptn_setup(accum=2, batch=16)
     cfg = cfg.replace(dp_mode="fsdp")
     mesh = make_mesh(dp=8, mp=1)
     placed = fsdp.shard_train_state(state, mesh)
@@ -145,7 +151,7 @@ def test_fsdp_with_grad_accumulation():
     _, metrics = step(placed, shard_batch(batch, mesh),
                       jax.random.PRNGKey(0))
 
-    cfg2, model2, state2, _ = _tiny_ptn_setup(accum=1)
+    cfg2, model2, state2, _ = _tiny_ptn_setup(accum=1, batch=16)
     _, ref = make_train_step(model2, cfg2)(state2, batch,
                                            jax.random.PRNGKey(0))
     np.testing.assert_allclose(float(metrics["loss"]), float(ref["loss"]),
@@ -191,3 +197,165 @@ def test_fsdp_trains_via_harness_config():
         if first is None:
             first = float(metrics["loss"])
     assert float(metrics["loss"]) < first
+
+
+def test_fsdp_gspmd_formulation_matches_single_device():
+    """dp_mode='fsdp_gspmd' keeps the r3 gspmd-trace ZeRO-3 formulation
+    (escape hatch; also where 'fsdp' lands under global-norm clipping) —
+    same parity contract as the shard_map body."""
+    cfg, model, state, batch = _tiny_ptn_setup()
+    cfg = cfg.replace(dp_mode="fsdp_gspmd")
+    mesh = make_mesh(dp=8, mp=1)
+    assert mesh_strategy(mesh, cfg) == "gspmd"
+
+    placed_state = fsdp.shard_train_state(state, mesh)
+    step = make_train_step(model, cfg, mesh=mesh)
+    new_state, metrics = step(placed_state, shard_batch(batch, mesh),
+                              jax.random.PRNGKey(0))
+
+    cfg2, model2, state2, _ = _tiny_ptn_setup()
+    _, ref_metrics = make_train_step(model2, cfg2)(state2, batch,
+                                                   jax.random.PRNGKey(0))
+    np.testing.assert_allclose(float(metrics["loss"]),
+                               float(ref_metrics["loss"]), rtol=1e-5)
+    kern = new_state.params["encoder_0"]["layer_0"]["linear1"]["kernel"]
+    assert kern.addressable_shards[0].data.size == kern.size // 8
+
+
+def test_fsdp_grad_clip_falls_back_to_gspmd():
+    """clip_by_global_norm needs the full-tree norm; the shard_map body
+    would compute a per-shard norm, so dp_mode='fsdp' with clipping on
+    routes to the gspmd trace (which partitions the norm correctly) —
+    and still matches the clipped single-device step."""
+    cfg, model, state, batch = _tiny_ptn_setup()
+    cfg = cfg.replace(dp_mode="fsdp", grad_clip_norm=0.01)
+    mesh = make_mesh(dp=8, mp=1)
+    assert mesh_strategy(mesh, cfg) == "gspmd"
+
+    from devt_tpu.train.optimizers import build_optimizer
+    from devt_tpu.train.state import TrainState
+    state = TrainState.create(state.params, build_optimizer(cfg))
+    placed = fsdp.shard_train_state(state, mesh)
+    _, metrics = make_train_step(model, cfg, mesh=mesh)(
+        placed, shard_batch(batch, mesh), jax.random.PRNGKey(0))
+
+    cfg2, model2, state2, _ = _tiny_ptn_setup()
+    cfg2 = cfg2.replace(grad_clip_norm=0.01)
+    state2 = TrainState.create(state2.params, build_optimizer(cfg2))
+    _, ref = make_train_step(model2, cfg2)(state2, batch,
+                                           jax.random.PRNGKey(0))
+    np.testing.assert_allclose(float(metrics["loss"]), float(ref["loss"]),
+                               rtol=1e-5)
+
+
+def test_fsdp_shard_map_keeps_fused_kernels():
+    """The point of the shard_map ZeRO-3 body: per-device shapes are
+    concrete, so the fused Pallas ViT block (interpret mode on CPU)
+    serves the fwd/bwd — the gspmd trace had to disable it (chip row
+    fsdp_vivit_train measured that tier at 2.65x the step cost)."""
+    from devt_tpu.config import Config
+    from devt_tpu.models.vivit import ViViT
+    from devt_tpu.train.optimizers import build_optimizer
+    from devt_tpu.train.state import TrainState
+    import devt_tpu.models.layers as layers_mod
+
+    cfg = Config(model="vivit", batch_size=8, n_classes=7, precision="f32",
+                 opt="adamW", learning_rate=1e-3, dropout=0.0,
+                 dp_mode="fsdp")
+    kw = dict(image_size=32, patch_size=16, num_classes=7, num_frames=2,
+              dim=32, depth=1, heads=2, dim_head=16, channels_last=True,
+              temporal_attention_impl=None)
+    rng = np.random.default_rng(3)
+    batch = {"vid": rng.standard_normal((8, 2, 32, 32, 3),
+                                        dtype=np.float32),
+             "label": (rng.random((8, 7)) < 0.3).astype(np.float32)}
+    fused = ViViT(attention_impl="fused_interpret", **kw)
+    variables = fused.init(
+        {"params": jax.random.PRNGKey(0),
+         "dropout": jax.random.PRNGKey(1)}, jnp.asarray(batch["vid"]))
+    state = TrainState.create(variables["params"], build_optimizer(cfg))
+
+    mesh = make_mesh(dp=8, mp=1)
+    assert mesh_strategy(mesh, cfg) == "fsdp_shard_map"
+    placed = fsdp.shard_train_state(state, mesh)
+    # fresh param copies for the replicated reference: device_put of
+    # replicated leaves can alias the source buffers, and each donated
+    # step deletes its operands (the documented device_put aliasing
+    # gotcha)
+    params2 = jax.tree_util.tree_map(jnp.array, variables["params"])
+    state2 = TrainState.create(params2, build_optimizer(cfg))
+    _, ref = make_train_step(fused, cfg)(state2, batch,
+                                         jax.random.PRNGKey(0))
+
+    calls = []
+    real = layers_mod.fused_vit_block
+
+    def spy(*a, **k):
+        calls.append(True)
+        return real(*a, **k)
+
+    layers_mod.fused_vit_block = spy
+    try:
+        new_state, metrics = make_train_step(fused, cfg, mesh=mesh)(
+            placed, shard_batch(batch, mesh), jax.random.PRNGKey(0))
+        assert calls, "fused kernel not reached in the FSDP shard_map body"
+    finally:
+        layers_mod.fused_vit_block = real
+    np.testing.assert_allclose(float(metrics["loss"]), float(ref["loss"]),
+                               rtol=1e-5)
+    # params still ZeRO-3 sharded after the update
+    kern = jax.tree_util.tree_leaves(new_state.params)
+    big = [k for k in kern if k.ndim >= 2 and k.shape[-1] % 8 == 0
+           and k.size >= 8]
+    assert big and any(
+        k.addressable_shards[0].data.size == k.size // 8 for k in big)
+
+
+def test_fsdp_eval_step_matches_single_device():
+    """make_eval_step on an FSDP mesh: params gathered at use inside the
+    shard_map body (state stays sharded at rest), loss and per-sample
+    aux rows equal the single-device eval."""
+    from devt_tpu.parallel.train_step import make_eval_step
+
+    cfg, model, state, batch = _tiny_ptn_setup()
+    cfg = cfg.replace(dp_mode="fsdp")
+    mesh = make_mesh(dp=8, mp=1)
+    placed = fsdp.shard_train_state(state, mesh)
+    loss_m, aux_m = make_eval_step(model, cfg, mesh=mesh)(
+        placed, shard_batch(batch, mesh))
+
+    loss_s, aux_s = make_eval_step(model, cfg)(state, batch)
+    np.testing.assert_allclose(float(loss_m), float(loss_s), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(aux_m["probs"]),
+                               np.asarray(aux_s["probs"]), atol=1e-5)
+
+
+def test_fsdp_multi_step_matches_single_steps():
+    """make_multi_step under FSDP: the lax.scan executor runs inside the
+    shard_map body, state stays sharded across the scanned updates, and
+    the result matches n sequential sharded steps."""
+    from devt_tpu.parallel.train_step import make_multi_step
+
+    cfg, model, state, batch = _tiny_ptn_setup()
+    cfg = cfg.replace(dp_mode="fsdp")
+    mesh = make_mesh(dp=8, mp=1)
+    rng = jax.random.PRNGKey(0)
+
+    placed = fsdp.shard_train_state(state, mesh)
+    batches = jax.tree_util.tree_map(
+        lambda x: np.stack([x, x]), shard_batch(batch, mesh))
+    multi = make_multi_step(model, cfg, n_steps=2, mesh=mesh)
+    ms_state, _ = multi(placed, batches, rng)
+
+    cfg2, model2, state2, _ = _tiny_ptn_setup()
+    cfg2 = cfg2.replace(dp_mode="fsdp")
+    placed2 = fsdp.shard_train_state(state2, mesh)
+    step = make_train_step(model2, cfg2, mesh=mesh)
+    for _ in range(2):
+        placed2, _ = step(placed2, shard_batch(batch, mesh), rng)
+
+    for a, b in zip(jax.tree_util.tree_leaves(ms_state.params),
+                    jax.tree_util.tree_leaves(placed2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    kern = ms_state.params["encoder_0"]["layer_0"]["linear1"]["kernel"]
+    assert kern.addressable_shards[0].data.size == kern.size // 8
