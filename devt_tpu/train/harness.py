@@ -75,7 +75,7 @@ class Trainer:
         tx = build_optimizer(self.config, steps_per_epoch)
         state = TrainState.create(params, tx, model_state=variables)
         if self.mesh is not None:
-            if self.config.dp_mode == "fsdp":
+            if self.config.dp_mode in ("fsdp", "fsdp_gspmd"):
                 # ZeRO-3: the whole TrainState (params, Adam moments,
                 # mutable collections) lives sharded over the data axis
                 from devt_tpu.parallel.fsdp import shard_train_state

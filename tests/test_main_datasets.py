@@ -24,8 +24,12 @@ def test_main_mmx_temporal(tmp_path, monkeypatch):
         "--experts", "img-embeddings,location-embeddings,video-embeddings",
     ])
     assert np.isfinite(results["test/loss"])
-    # TransformerEval's test-epoch dump wrote the labels/logits pickles
-    assert (tmp_path / "labels").exists() and (tmp_path / "logits").exists()
+    # TransformerEval's test-epoch dump writes the labels/logits pickles
+    # into the RUN directory (save_path/name), never cwd (VERDICT r3 #7)
+    run_dir = tmp_path / "trained_models" / "devt-tpu-run"
+    assert (run_dir / "labels.pkl").exists()
+    assert (run_dir / "logits.pkl").exists()
+    assert not (tmp_path / "labels").exists()
 
 
 def test_main_mit_temporal(tmp_path, monkeypatch):
