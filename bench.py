@@ -273,12 +273,15 @@ def bench_int8_serving(batch_size: int = 32) -> dict:
         out = pred._invoke(batch)
         _sync(out)  # compile + warm
         scores[tag] = np.asarray(out, np.float32)
-        iters = 20
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = pred._invoke(batch)
-        _sync(out)
-        rates[tag] = batch_size * iters / (time.perf_counter() - t0)
+        # best-of-3 windows (tunnel-jitter control, same as the PTN row)
+        iters, best = 10, 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = pred._invoke(batch)
+            _sync(out)
+            best = min(best, (time.perf_counter() - t0) / iters)
+        rates[tag] = batch_size / best
     thresh = 0.3
     agree = float(np.mean((scores["bf16"] > thresh)
                           == (scores["int8"] > thresh)))
@@ -332,12 +335,16 @@ def bench_int8_serving_ptn(batch_size: int = 256) -> dict:
         out = pred._invoke(batch)
         _sync(out)
         scores[tag] = np.asarray(out, np.float32)
-        iters = 30
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = pred._invoke(batch)
-        _sync(out)
-        rates[tag] = batch_size * iters / (time.perf_counter() - t0)
+        # best-of-3 windows: one long window is at the mercy of tunnel
+        # jitter, which swung the committed speedup 0.98-1.13 across runs
+        iters, best = 10, 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = pred._invoke(batch)
+            _sync(out)
+            best = min(best, (time.perf_counter() - t0) / iters)
+        rates[tag] = batch_size / best
     agree = float(np.mean((scores["bf16"] > 0.3) == (scores["int8"] > 0.3)))
     max_err = float(np.max(np.abs(scores["bf16"] - scores["int8"])))
     return {"name": "int8_serving_ptn_b256",
