@@ -985,6 +985,108 @@ def bench_tp_block_mp1(n_chain: int = 50) -> dict:
                     "psums are no-ops at mp=1)"}
 
 
+def bench_sp_ring_sp1(n_chain: int = 50) -> dict:
+    """Ring-attention ViT block (parallel/ring_attention.ring_vit_block —
+    the SP/CP leg) on a 1-device data axis: ppermutes are no-ops, so this
+    is the per-device cost of the ring formulation between hops.  Two
+    baselines: the jnp reference block (the ring body's own numeric tier
+    — isolates the schedule/shard_map machinery) and the fused Pallas
+    block (what a non-SP device runs — the full price of going SP)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from devt_tpu.ops.fused_block import fused_vit_block, reference_vit_block
+    from devt_tpu.parallel.mesh import DATA_AXIS
+    from devt_tpu.parallel.ring_attention import ring_vit_block
+
+    dim, heads, dhead, mlp, s, kv, b = 192, 3, 64, 768, 208, 197, 512
+    rng = np.random.default_rng(0)
+
+    def P_(*shape, scale=0.05):
+        return jnp.asarray(rng.standard_normal(shape) * scale, jnp.float32)
+
+    params = {"g1": jnp.ones((1, dim)), "b1": jnp.zeros((1, dim)),
+              "wqkv": P_(dim, 3 * dim), "wo": P_(dim, dim),
+              "bo": jnp.zeros((1, dim)),
+              "g2": jnp.ones((1, dim)), "b2": jnp.zeros((1, dim)),
+              "w1": P_(dim, mlp), "bb1": jnp.zeros((1, mlp)),
+              "w2": P_(mlp, dim), "bb2": jnp.zeros((1, dim))}
+    x = jnp.asarray(rng.standard_normal((b, s, dim)) * 0.3, jnp.bfloat16)
+    mesh = Mesh(np.asarray(jax.devices()[:1]), (DATA_AXIS,))
+
+    def chain(block):
+        @jax.jit
+        def fn(x):
+            for _ in range(n_chain):
+                x = block(x)
+            return x
+        return fn
+
+    def run(fn):
+        float(np.asarray(fn(x)[0, 0, 0]))
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            r = fn(x)
+            float(np.asarray(r[0, 0, 0]))
+            best = min(best, time.perf_counter() - t0)
+        return best / n_chain * 1e3
+
+    ms_fused = run(chain(lambda h: fused_vit_block(
+        h, params, heads, dhead ** -0.5, kv)))
+    ms_ref = run(chain(lambda h: reference_vit_block(
+        h, params, heads, dhead ** -0.5, kv)))
+    ms_ring = run(chain(lambda h: ring_vit_block(
+        h, params, mesh, heads=heads, scale=dhead ** -0.5, kv_len=kv)))
+    return {"name": "sp_ring_sp1",
+            "value": round(ms_ring, 4), "unit": "ms/block fwd",
+            "detail": {"jnp_reference_block_ms": round(ms_ref, 4),
+                       "fused_block_ms": round(ms_fused, 4),
+                       "ring_overhead_vs_jnp": round(
+                           ms_ring / ms_ref - 1.0, 4),
+                       "ring_cost_vs_fused": round(
+                           ms_ring / ms_fused - 1.0, 4),
+                       "shape": [b, s, dim], "chain": n_chain},
+            "note": "ring ViT block on a 1-device data axis (ppermutes "
+                    "no-op): machinery cost vs its own jnp tier, and the "
+                    "full per-device price vs the fused Pallas block a "
+                    "non-SP device runs"}
+
+
+def bench_pp_vivit_stacked(batch_size: int = 32) -> dict:
+    """The pp checkpoint layout on one chip: ViViT with config.pp=2
+    declares the space transformer's block params STACKED (depth, ...)
+    and dynamic-slices per block — with no pipe mesh the stack executes
+    sequentially (the 'stacked single-path twin' the pp chip smoke
+    drives).  vs the dense north-star step: the layout cost a pp-ready
+    checkpoint pays when served/trained on fewer devices than stages."""
+    from devt_tpu.parallel.train_step import make_train_step
+
+    cfg, model, state, batch = _north_star_setup(batch_size)
+    t_dense = _timed_steps(make_train_step(model, cfg), state, batch)
+
+    cfg2, model2, state2, _ = _north_star_setup(batch_size, pp=2,
+                                                dropout=0.0)
+    t_pp = _timed_steps(make_train_step(model2, cfg2), state2, batch)
+    return {"name": "pp_vivit_stacked_train",
+            "value": round(batch_size / t_pp, 1), "unit": "clips/sec/chip",
+            "detail": {"dense_clips_per_sec": round(batch_size / t_dense,
+                                                    1),
+                       "stacked_layout_cost": round(t_pp / t_dense - 1.0,
+                                                    4),
+                       "stages": 2, "step_ms": round(t_pp * 1e3, 2)},
+            "note": "config.pp=2 ViViT (stacked pb_* block params, "
+                    "dynamic-sliced per block) trained single-path on one "
+                    "chip vs the dense twin — the pp layout's cost when "
+                    "no pipe mesh is present; the GPipe schedule itself "
+                    "is exercised by the dryrun leg 8 and "
+                    "tests/test_pipeline.py"}
+
+
 def bench_moe_vivit_train(batch_size: int = 32) -> dict:
     """MoE-ViViT (E=4, every 2nd space-FFN a switch MoE) full train step
     on one chip — the routing/dispatch einsum + capacity machinery cost
@@ -1100,7 +1202,8 @@ def run_all() -> list[dict]:
                bench_pipeline_architecture,
                bench_p50_preprocess_to_logits,
                bench_dp_shard_map1_train, bench_eval_shard_map1,
-               bench_tp_block_mp1,
+               bench_tp_block_mp1, bench_sp_ring_sp1,
+               bench_pp_vivit_stacked,
                bench_moe_vivit_train, bench_fsdp_vivit_train):
         try:
             results.append(fn())
