@@ -132,7 +132,13 @@ class Config(Mapping[str, Any]):
                                        # splits over a "pipe" mesh axis and
                                        # runs the GPipe schedule —
                                        # parallel/pipeline.py; composes with
-                                       # dp, not mp; requires dropout == 0
+                                       # dp, and with mp as full 3-D
+                                       # dp×pp×tp: each stage executes as
+                                       # the Megatron TP block over the
+                                       # model axis (needs the fused
+                                       # kernels, i.e. attention_impl !=
+                                       # "xla", and heads/mlp divisible by
+                                       # mp); requires dropout == 0
                                        # and depth % pp == 0; the block
                                        # params stack (depth, ...) so pp
                                        # checkpoints differ from pp=1 trees)
@@ -204,8 +210,12 @@ class Config(Mapping[str, Any]):
         if self.dp_mode not in ("auto", "gspmd", "fsdp", "fsdp_gspmd"):
             raise ValueError(f"unknown dp_mode {self.dp_mode!r}")
         if self.pp > 1:
-            if self.mp != 1:
-                raise ValueError("pp composes with dp only; set mp=1")
+            if self.mp > 1 and self.attention_impl == "xla":
+                raise ValueError(
+                    "pp x mp (3-D parallelism) runs each pipeline stage "
+                    "as the Megatron TP block on the fused Pallas "
+                    "kernels; attention_impl='xla' cannot serve it "
+                    "(models/layers.ViTTransformer._pipelined_stack)")
             if self.model != "vivit":
                 raise ValueError("pipeline parallelism is implemented for "
                                  "the vivit depth stack (config.pp)")

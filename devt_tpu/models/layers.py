@@ -506,6 +506,19 @@ class ViTTransformer(nn.Module):
 
         mesh = active_pipe_mesh()
         if mesh is not None and dict(mesh.shape).get(PIPE_AXIS, 1) > 1:
+            from devt_tpu.parallel.tp_block import TP_AXIS
+            tp = dict(mesh.shape).get(TP_AXIS, 1)
+            if tp > 1:
+                # 3-D dp×pp×tp: each stage's blocks execute as the
+                # Megatron TP slice over the model axis (every device
+                # runs the fused Pallas MHA on its local heads, two
+                # psums per block — parallel/tp_block._tp_block_local).
+                # Params stay replicated; each device slices its model
+                # shard locally, so checkpoints are layout-identical to
+                # pp-only runs.  The train-step body reassembles the
+                # sliced-weight grads with a model-axis psum
+                # (parallel/train_step._make_step_body).
+                stage_fn = self._tp_stage_fn(kv_len, tp, per, take)
             s_idx = _jax.lax.axis_index(PIPE_AXIS)
             local = _jax.tree_util.tree_map(
                 lambda v: _jax.lax.dynamic_index_in_dim(
@@ -522,6 +535,59 @@ class ViTTransformer(nn.Module):
         for i in range(self.depth):
             x = block(take(stacked, i), x)
         return x
+
+    def _tp_stage_fn(self, kv_len: int, tp: int, per: int, take):
+        """pp×tp stage body: ``per`` Megatron-TP blocks over the model
+        axis — call INSIDE the 3-D (data, pipe, model) shard_map.
+
+        The full stage params are replicated across the model axis (the
+        pp trainer's ``in_specs=P()`` state); each device carves out its
+        head/FFN column slice with ``tp_shard_block_params`` + a local
+        dynamic index, which XLA folds to cheap slices.  No reference
+        analogue (single-GPU training, src/main.py:87-88) — this is the
+        scaling surface for stacks too deep for one chip's HBM at a TP
+        width the heads divide.
+        """
+        import jax as _jax
+
+        from devt_tpu.ops.flash_attention import fits_single_block
+        from devt_tpu.parallel.tp_block import (TP_AXIS, _tp_block_local,
+                                                tp_shard_block_params)
+
+        heads, scale = self.heads, self.dim_head ** -0.5
+        if (self.heads * self.dim_head != self.dim or self.heads % tp
+                or self.mlp_dim % tp):
+            raise ValueError(
+                f"pp x tp needs heads*dim_head == dim, heads % mp == 0 "
+                f"and mlp_dim % mp == 0; got dim={self.dim} "
+                f"heads={self.heads} dim_head={self.dim_head} "
+                f"mlp_dim={self.mlp_dim} mp={tp}")
+        interpret = self.attention_impl == "fused_interpret"
+        if self.attention_impl == "xla" or (
+                not interpret and _jax.default_backend() != "tpu"):
+            raise ValueError(
+                "pp x tp runs the fused Pallas MHA per device: use a TPU "
+                "backend or attention_impl='fused_interpret'")
+        seed = jnp.zeros((1,), jnp.int32)  # dropout == 0 on the pp path
+
+        def stage_fn(p_stage, xs):
+            if xs.shape[1] % 16 or not fits_single_block(xs.shape[1]):
+                raise ValueError(
+                    f"pp x tp stage needs a fused-eligible token count "
+                    f"(16-aligned); got {xs.shape[1]}")
+            m_idx = _jax.lax.axis_index(TP_AXIS)
+            for j in range(per):
+                rep, shard = tp_shard_block_params(take(p_stage, j), tp)
+                shard_l = _jax.tree_util.tree_map(
+                    lambda v: _jax.lax.dynamic_index_in_dim(
+                        v, m_idx, 0, keepdims=True), shard)
+                xs = _tp_block_local(
+                    xs, rep, shard_l, seed, heads_local=heads // tp,
+                    scale=scale, kv_len=kv_len, axis_name=TP_AXIS,
+                    batch_axis_name=None, rate=0.0, interpret=interpret)
+            return xs
+
+        return stage_fn
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True,

@@ -10,8 +10,9 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 def make_mesh(dp: int = -1, mp: int = 1, pp: int = 1, devices=None) -> Mesh:
-    """2-D ``(data, model)`` mesh — or ``(data, pipe)`` when ``pp > 1``.
-    ``dp=-1`` uses all devices / (mp·pp).
+    """2-D ``(data, model)`` mesh — ``(data, pipe)`` when ``pp > 1`` —
+    or the full 3-D ``(data, pipe, model)`` mesh when both ``pp > 1``
+    and ``mp > 1``.  ``dp=-1`` uses all devices / (mp·pp).
 
     On a multi-chip slice the axes ride ICI; XLA lowers the psum/all-gather
     that GSPMD inserts onto the torus links.  Execution strategy over the
@@ -19,21 +20,28 @@ def make_mesh(dp: int = -1, mp: int = 1, pp: int = 1, devices=None) -> Mesh:
     ``data`` when mp == 1 (fused Pallas kernels stay hot per device),
     GSPMD with the Megatron rules when mp > 1, and the GPipe schedule
     over the ``pipe`` axis when pp > 1 (parallel/pipeline.py — composes
-    with DP as shard_map over both axes).
+    with DP as shard_map over both axes).  On the 3-D mesh each pipeline
+    stage runs as the Megatron TP block over ``model``
+    (models/layers.ViTTransformer), so the two per-block psums ride the
+    fastest-varying — i.e. physically adjacent — axis, while the GPipe
+    ppermute hops the middle axis and the once-per-step DP grad pmean
+    rides the outermost.
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if pp > 1:
-        if mp != 1:
-            raise ValueError("pp composes with dp only (mp must be 1); "
-                             f"got mp={mp} pp={pp}")
         from devt_tpu.parallel.pipeline import PIPE_AXIS
+        per = pp * mp
         if dp == -1:
-            if n % pp:
-                raise ValueError(f"{n} devices not divisible by pp={pp}")
-            dp = n // pp
-        if dp * pp > n:
-            raise ValueError(f"mesh {dp}x{pp} exceeds {n} devices")
+            if n % per:
+                raise ValueError(
+                    f"{n} devices not divisible by pp*mp={per}")
+            dp = n // per
+        if dp * per > n:
+            raise ValueError(f"mesh {dp}x{pp}x{mp} exceeds {n} devices")
+        if mp > 1:
+            grid = np.asarray(devices[: dp * pp * mp]).reshape(dp, pp, mp)
+            return Mesh(grid, (DATA_AXIS, PIPE_AXIS, MODEL_AXIS))
         grid = np.asarray(devices[: dp * pp]).reshape(dp, pp)
         return Mesh(grid, (DATA_AXIS, PIPE_AXIS))
     if dp == -1:

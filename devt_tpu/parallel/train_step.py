@@ -173,6 +173,7 @@ def _make_step_body(model, config: Config,
                     constrain_params: Callable | None = None,
                     constrain_grads: Callable | None = None,
                     pipe_axis: str | None = None,
+                    tp_axis: str | None = None,
                     reduce_grads: Callable | None = None) -> Callable:
     """Un-jitted ``(state, batch, rng) -> (state, metrics)`` — one full
     fwd+bwd+update.  Shared by the single-step and multi-step executors.
@@ -189,6 +190,13 @@ def _make_step_body(model, config: Config,
     "pb_*" block params): stacked grads psum over the pipe axis to
     reassemble the full stack, everything else — computed identically on
     every pipe device — pmeans.
+
+    With ``tp_axis`` additionally set (the 3-D dp×pp×tp mesh) each stage
+    executed as the Megatron TP block: the five column/row-sliced weight
+    leaves (wqkv/wo/w1/bb1/w2) carry per-device grads that are nonzero
+    only on that device's model shard — a model-axis psum reassembles
+    them — while LN scales/offsets and post-psum biases, touched through
+    replicated activations, pmean (identical across the axis).
     """
     accum = max(config.accum_steps, 1)
 
@@ -251,17 +259,25 @@ def _make_step_body(model, config: Config,
         if pipe_axis is not None:
             from jax.tree_util import tree_map_with_path
 
+            tp_sliced = {"pb_wqkv", "pb_wo", "pb_w1", "pb_bb1", "pb_w2"}
+
             def red(path, g):
-                stage_sharded = any(
-                    str(getattr(p, "key", "")).startswith("pb_")
-                    for p in path)
-                return jax.lax.psum(g, pipe_axis) if stage_sharded \
+                keys = [str(getattr(p, "key", "")) for p in path]
+                stage_sharded = any(k.startswith("pb_") for k in keys)
+                g = jax.lax.psum(g, pipe_axis) if stage_sharded \
                     else jax.lax.pmean(g, pipe_axis)
+                if tp_axis is not None:
+                    g = jax.lax.psum(g, tp_axis) \
+                        if any(k in tp_sliced for k in keys) \
+                        else jax.lax.pmean(g, tp_axis)
+                return g
 
             grads = tree_map_with_path(red, grads)
-            loss = jax.lax.pmean(loss, pipe_axis)
-            aux = {k: jax.lax.pmean(v, pipe_axis) for k, v in aux.items()}
-            new_ms = _pmean_floats(new_ms, pipe_axis)
+            axes = (pipe_axis,) if tp_axis is None else (pipe_axis, tp_axis)
+            loss = jax.lax.pmean(loss, axes)
+            aux = {k: jax.lax.pmean(v, axes) for k, v in aux.items()}
+            for ax in axes:
+                new_ms = _pmean_floats(new_ms, ax)
 
         if constrain_grads is not None:
             grads = constrain_grads(grads)
@@ -374,8 +390,10 @@ def make_train_step(model, config: Config, mesh=None) -> Callable:
     if strategy == "pp_shard_map":
         from devt_tpu.parallel.pipeline import PIPE_AXIS, pipeline_scope
 
+        tp_ax = MODEL_AXIS \
+            if dict(mesh.shape).get(MODEL_AXIS, 1) > 1 else None
         body = _make_step_body(model, config, axis_name=DATA_AXIS,
-                               pipe_axis=PIPE_AXIS)
+                               pipe_axis=PIPE_AXIS, tp_axis=tp_ax)
 
         def traced(state, batch, rng):
             # scope active while the shard_map body traces, so the model's
@@ -427,13 +445,15 @@ def make_multi_step(model, config: Config, n_steps: int,
         model = _sync_bn(model)
     cp, cg = (_gspmd_sharding_hooks(mesh, config)
               if strategy == "gspmd" else (None, None))
-    pipe = None
+    pipe = tp_ax = None
     if strategy == "pp_shard_map":
         from devt_tpu.parallel.pipeline import PIPE_AXIS
         pipe = PIPE_AXIS
+        tp_ax = MODEL_AXIS \
+            if dict(mesh.shape).get(MODEL_AXIS, 1) > 1 else None
     body = _make_step_body(model, config, axis_name=axis,
                            constrain_params=cp, constrain_grads=cg,
-                           pipe_axis=pipe)
+                           pipe_axis=pipe, tp_axis=tp_ax)
 
     def multi_step(state: TrainState, batches, rng):
         def scan_body(carry, batch):
@@ -537,6 +557,10 @@ def make_eval_step(model, config: Config, mesh=None) -> Callable:
                 # forward output is psum-replicated across pipe stages —
                 # the pmean is a consistency no-op, not a reduction
                 loss = jax.lax.pmean(loss, PIPE_AXIS)
+                if dict(mesh.shape).get(MODEL_AXIS, 1) > 1:
+                    # 3-D mesh: likewise replicated across the TP axis
+                    # by the per-block psums
+                    loss = jax.lax.pmean(loss, MODEL_AXIS)
 
             def rep(x):
                 x = jnp.asarray(x)

@@ -267,8 +267,12 @@ def test_pp_config_validation_and_mesh():
     assert dict(mesh.shape) == {"data": 4, PIPE_AXIS: 2}
     assert mesh_strategy(mesh, cfg) == "pp_shard_map"
 
-    with pytest.raises(ValueError, match="mp"):
-        Config(model="vivit", dropout=0.0, pp=2, mp=2)
+    # pp x mp composes now (3-D parallelism) — but only on the fused
+    # kernels; a pinned xla impl cannot serve the Megatron stage
+    Config(model="vivit", dropout=0.0, pp=2, mp=2)
+    with pytest.raises(ValueError, match="xla"):
+        Config(model="vivit", dropout=0.0, pp=2, mp=2,
+               attention_impl="xla")
     with pytest.raises(ValueError, match="vivit"):
         Config(model="ptn", dropout=0.0, pp=2)
     with pytest.raises(ValueError, match="dropout"):
