@@ -161,6 +161,15 @@ class Config(Mapping[str, Any]):
     moe_every: int = 2                 # every k-th layer's FFN becomes MoE
     moe_aux_weight: float = 0.01       # router load-balance loss weight
     moe_capacity_factor: float = 1.25  # per-expert token capacity factor
+    moe_ep: bool = False               # expert-parallel TRAINING: on a
+                                       # dp_shard_map mesh the MoE FFNs
+                                       # shard over the data axis (E/n
+                                       # experts per device, two
+                                       # all_to_alls per MoE layer —
+                                       # parallel/moe.moe_ffn_ep_rows);
+                                       # routing/updates bit-match the
+                                       # dense path; needs
+                                       # moe_experts % n_devices == 0
     log_every: int = 50
     eval_every_epochs: int = 1
     checkpoint_dir: str = "checkpoints"
@@ -225,6 +234,16 @@ class Config(Mapping[str, Any]):
                                  "dropout rngs)")
             if self.moe_experts > 0:
                 raise ValueError("pp > 1 does not compose with MoE blocks")
+        if self.moe_ep:
+            if self.moe_experts <= 0:
+                raise ValueError("moe_ep requires moe_experts > 0")
+            if self.mp > 1 or self.pp > 1:
+                raise ValueError("moe_ep rides the dp_shard_map data "
+                                 "axis; it does not compose with mp/pp")
+            if self.dp_mode not in ("auto",):
+                raise ValueError("moe_ep requires dp_mode='auto' (the "
+                                 "shard_map DP strategy; FSDP shards the "
+                                 "expert leaves by shape instead)")
         if self.best_mode not in ("max", "min"):
             raise ValueError(f"unknown best_mode {self.best_mode!r}")
 

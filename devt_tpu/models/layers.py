@@ -375,24 +375,37 @@ class MoEViTBlock(nn.Module):
         # _pad_tokens) must not consume expert capacity or skew the
         # load-balance statistics — mask them out of routing; their MoE
         # output is zero and the residual carries them unchanged
-        valid = None
+        valid2d = None
         if kv_len is not None and kv_len != h.shape[1]:
-            valid = jnp.broadcast_to(
-                (jnp.arange(h.shape[1]) < kv_len)[None], h.shape[:2]
-            ).reshape(-1)
+            valid2d = jnp.broadcast_to(
+                (jnp.arange(h.shape[1]) < kv_len)[None], h.shape[:2])
         cf = (self.capacity_factor if not deterministic
               else max(self.capacity_factor, self.eval_capacity_factor))
-        # route per sequence row: per-row capacity keeps the dispatch
-        # tensor linear in batch size (the global formulation is
-        # quadratic in total tokens and OOMs at real batches — see
-        # moe_ffn_dense), and matches the per-shard capacity the EP
-        # deployment path uses
-        y, aux = moe_ffn_dense(moe_params, h.reshape(-1, d),
-                               capacity_factor=cf, valid=valid,
-                               group_size=h.shape[1])
+        from devt_tpu.parallel.moe import active_moe_ep, moe_ffn_ep_rows
+        ep = active_moe_ep()
+        if (ep is not None and ep[1] > 1
+                and self.n_experts % ep[1] == 0):
+            # expert-parallel training (config.moe_ep): the body is
+            # tracing inside the dp shard_map — per-row routing is
+            # identical to the dense path below, but each device
+            # computes only its E/n experts' FFNs on the global slot
+            # batch (two all_to_alls over the data axis)
+            y, aux = moe_ffn_ep_rows(moe_params, h, axis_name=ep[0],
+                                     n_shards=ep[1],
+                                     capacity_factor=cf, valid=valid2d)
+        else:
+            # route per sequence row: per-row capacity keeps the
+            # dispatch tensor linear in batch size (the global
+            # formulation is quadratic in total tokens and OOMs at real
+            # batches — see moe_ffn_dense), and matches the per-shard
+            # capacity the EP deployment path uses
+            y, aux = moe_ffn_dense(
+                moe_params, h.reshape(-1, d), capacity_factor=cf,
+                valid=None if valid2d is None else valid2d.reshape(-1),
+                group_size=h.shape[1])
+            y = y.reshape(h.shape)
         self.sow("losses", "moe_aux", aux)
-        y = nn.Dropout(self.dropout)(y.reshape(h.shape),
-                                     deterministic=deterministic)
+        y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
         return x + y
 
 

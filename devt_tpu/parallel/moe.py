@@ -25,6 +25,8 @@ axis the reference never had, TPU-native:
 
 from __future__ import annotations
 
+import contextlib as _contextlib
+import threading as _threading
 
 import jax
 import jax.numpy as jnp
@@ -219,3 +221,90 @@ def moe_ffn(mesh: Mesh, params, x, *, axis_name: str = EXPERT_AXIS,
             out_specs=(P(axis_name), P()))(params, x, valid)
     return jax.shard_map(body, mesh=mesh, in_specs=(pspec, P(axis_name)),
                          out_specs=(P(axis_name), P()))(params, x)
+
+
+# ---------------------------------------------------------------------------
+# Expert-parallel TRAINING over the data axis (config.moe_ep)
+# ---------------------------------------------------------------------------
+
+_ep_gate = _threading.local()
+
+
+@_contextlib.contextmanager
+def moe_ep_scope(axis_name: str, n_shards: int):
+    """Trace-time context: the dp_shard_map step factories
+    (parallel/train_step.py) set this around their shard_map trace when
+    ``config.moe_ep`` is on, so ``MoEViTBlock`` (models/layers.py) knows
+    its body executes inside a shard_map over ``axis_name`` with
+    ``n_shards`` devices and routes its FFN through
+    :func:`moe_ffn_ep_rows` — expert FLOPs sharded instead of every
+    device materialising every expert.  Re-entrant, thread-local,
+    scope-bounded (the pipeline_scope / tp_pallas_scope discipline)."""
+    prev = getattr(_ep_gate, "val", None)
+    _ep_gate.val = (axis_name, int(n_shards))
+    try:
+        yield
+    finally:
+        _ep_gate.val = prev
+
+
+def active_moe_ep():
+    """The (axis_name, n_shards) set by :func:`moe_ep_scope`, or None."""
+    return getattr(_ep_gate, "val", None)
+
+
+def moe_ffn_ep_rows(params, h, *, axis_name: str, n_shards: int,
+                    capacity_factor: float = 1.25, valid=None):
+    """Expert-parallel execution of the per-row-routed MoE FFN — call
+    INSIDE shard_map over ``axis_name`` (the data axis doubles as the
+    expert axis, the standard Switch training layout: E experts spread
+    over the n DP devices).
+
+    h: (G, S, D) — THIS device's sequence rows.  Routing, capacity and
+    dispatch/combine are computed per row exactly like
+    ``moe_ffn_dense(group_size=S)`` (the dense training path in
+    models/layers.MoEViTBlock), so expert assignment is bit-identical;
+    only the expert FFN compute moves: every row's (E, C, D) slot block
+    travels to the expert owners via one tiled ``lax.all_to_all``, each
+    device runs :func:`_expert_ffn` for its E/n experts on the global
+    slot batch, and a second all_to_all brings the outputs home.  Per
+    device the expert matmul work drops from E to E/n experts.
+
+    Gradients: the all_to_all transpose routes every device's loss
+    cotangents back to the expert owner, so each device's grad for the
+    full (E, ...) expert leaves is the CROSS-DEVICE sum scattered into
+    its own expert slice (zeros elsewhere) — the dp_shard_map body's
+    ordinary grad pmean then reproduces the dense-DP update exactly
+    (sum/n of disjoint slices == pmean of replicated dense grads).
+    Parity is pinned by tests/test_moe.py.
+    """
+    g, s, d = h.shape
+    n_experts = params["router"].shape[-1]
+    assert n_experts % n_shards == 0, (n_experts, n_shards)
+    e_local = n_experts // n_shards
+    capacity = max(int(s / n_experts * capacity_factor), 1)
+
+    def route(xs, vs):
+        return switch_route(xs, params["router"], n_experts, capacity,
+                            valid=vs)
+
+    if valid is None:
+        dispatch, combine, aux = jax.vmap(lambda xs: route(xs, None))(h)
+    else:
+        dispatch, combine, aux = jax.vmap(route)(h, valid)
+    # per-row slots, then expert-major for the exchange: (E, G*C, D)
+    slots = jnp.einsum("gsec,gsd->gecd", dispatch.astype(h.dtype), h)
+    slots = slots.transpose(1, 0, 2, 3).reshape(n_experts, g * capacity, d)
+    recv = jax.lax.all_to_all(
+        slots, axis_name, split_axis=0, concat_axis=1, tiled=True)
+    idx = jax.lax.axis_index(axis_name) * e_local
+    loc = {k: jax.lax.dynamic_slice_in_dim(params[k], idx, e_local, 0)
+           for k in ("w1", "b1", "w2", "b2")}
+    out = _expert_ffn(loc, recv)            # (E/n, n*G*C, D)
+    back = jax.lax.all_to_all(
+        out, axis_name, split_axis=1, concat_axis=0, tiled=True)
+    back = back.reshape(n_experts, g, capacity, d).transpose(1, 0, 2, 3)
+    y = jnp.einsum("gsec,gecd->gsd", combine.astype(h.dtype), back)
+    # aux is this shard's per-row mean; the step body pmeans it over the
+    # data axis, matching the dense path's global row mean
+    return y, jnp.mean(aux)

@@ -168,6 +168,21 @@ def _gspmd_sharding_hooks(mesh, config: Config | None):
     return None, pin
 
 
+def _moe_ep_scope_for(mesh, config: Config | None):
+    """Context factory for the dp_shard_map trace: ``config.moe_ep``
+    activates expert-parallel MoE routing (parallel/moe.moe_ep_scope) so
+    MoEViTBlock shards its expert FFNs over the data axis."""
+    import contextlib
+
+    if (config is not None and getattr(config, "moe_ep", False)
+            and mesh is not None):
+        n = dict(mesh.shape).get(DATA_AXIS, 1)
+        if n > 1:
+            from devt_tpu.parallel.moe import moe_ep_scope
+            return lambda: moe_ep_scope(DATA_AXIS, n)
+    return contextlib.nullcontext
+
+
 def _make_step_body(model, config: Config,
                     axis_name: str | None = None,
                     constrain_params: Callable | None = None,
@@ -383,8 +398,15 @@ def make_train_step(model, config: Config, mesh=None) -> Callable:
     strategy = mesh_strategy(mesh, config)
     if strategy == "dp_shard_map":
         body = _make_step_body(_sync_bn(model), config, axis_name=DATA_AXIS)
-        return jax.jit(_shard_map_dp(body, mesh, P(DATA_AXIS)),
-                       donate_argnums=(0,))
+        fn = _shard_map_dp(body, mesh, P(DATA_AXIS))
+        ep_scope = _moe_ep_scope_for(mesh, config)
+
+        def dp_traced(state, batch, rng):
+            # scope active while the shard_map body traces: config.moe_ep
+            # routes MoEViTBlock through the expert-parallel FFN
+            with ep_scope():
+                return fn(state, batch, rng)
+        return jax.jit(dp_traced, donate_argnums=(0,))
     if strategy == "fsdp_shard_map":
         return _make_fsdp_shard_map(model, config, mesh, n_steps=None)
     if strategy == "pp_shard_map":
@@ -465,8 +487,13 @@ def make_multi_step(model, config: Config, n_steps: int,
             lambda v: jnp.mean(v, axis=0), stacked)
 
     if strategy == "dp_shard_map":
-        return jax.jit(_shard_map_dp(multi_step, mesh, P(None, DATA_AXIS)),
-                       donate_argnums=(0,))
+        fn = _shard_map_dp(multi_step, mesh, P(None, DATA_AXIS))
+        ep_scope = _moe_ep_scope_for(mesh, config)
+
+        def dp_traced(state, batches, rng):
+            with ep_scope():
+                return fn(state, batches, rng)
+        return jax.jit(dp_traced, donate_argnums=(0,))
     if strategy == "pp_shard_map":
         from devt_tpu.parallel.pipeline import pipeline_scope
 
@@ -572,11 +599,14 @@ def make_eval_step(model, config: Config, mesh=None) -> Callable:
 
             return loss, jax.tree_util.tree_map(rep, aux)
 
+        ep_scope = _moe_ep_scope_for(mesh, config)
+
         def run(state, batch):
             if not pipe:
-                return jax.shard_map(
-                    body, mesh=mesh, in_specs=(P(), P(DATA_AXIS)),
-                    out_specs=(P(), P()), check_vma=False)(state, batch)
+                with ep_scope():
+                    return jax.shard_map(
+                        body, mesh=mesh, in_specs=(P(), P(DATA_AXIS)),
+                        out_specs=(P(), P()), check_vma=False)(state, batch)
             from devt_tpu.parallel.pipeline import pipeline_scope
 
             with pipeline_scope(mesh):

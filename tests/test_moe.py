@@ -412,3 +412,139 @@ def test_moe_vit_block_dispatch_is_linear_in_batch():
 
     s2, s4 = largest_intermediate(2), largest_intermediate(4)
     assert s4 <= 2 * s2 + 1, (s2, s4)
+
+
+# ---------------------------------------------------------------------------
+# Product surface: config.moe_ep — expert-parallel TRAINING over the data
+# axis (the dense-MoE trainer computes every expert on every device; EP
+# shards the expert FFNs E/n per device with two all_to_alls per layer)
+# ---------------------------------------------------------------------------
+
+
+def _tiny_moe_vivit(moe_ep: bool, n_experts=8):
+    from devt_tpu.config import Config
+    from devt_tpu.models.vivit import ViViT
+    from devt_tpu.train.optimizers import build_optimizer
+    from devt_tpu.train.state import TrainState
+
+    cfg = Config(model="vivit", batch_size=8, frame_len=2, n_classes=5,
+                 opt="adamW", learning_rate=1e-3, precision="f32",
+                 dropout=0.0, attention_impl="xla",
+                 moe_experts=n_experts, moe_capacity_factor=2.0,
+                 moe_ep=moe_ep)
+    model = ViViT(image_size=32, patch_size=16, num_classes=5,
+                  num_frames=2, dim=16, depth=2, heads=2, dim_head=8,
+                  channels_last=True, attention_impl="xla",
+                  moe_experts=n_experts, moe_capacity_factor=2.0)
+    rng = np.random.default_rng(5)
+    batch = {"vid": rng.standard_normal((8, 2, 32, 32, 3),
+                                        dtype=np.float32),
+             "label": (rng.random((8, 5)) < 0.4).astype(np.float32)}
+    variables = dict(model.init(
+        {"params": jax.random.PRNGKey(0),
+         "dropout": jax.random.PRNGKey(1)}, jnp.asarray(batch["vid"])))
+    variables.pop("losses", None)
+
+    def fresh_state():
+        params = jax.tree_util.tree_map(jnp.array, variables["params"])
+        return TrainState.create(params, build_optimizer(cfg))
+
+    return cfg, model, fresh_state, batch
+
+
+def test_moe_ep_config_validation():
+    import pytest
+
+    from devt_tpu.config import Config
+
+    Config(model="vivit", moe_experts=8, moe_ep=True)
+    with pytest.raises(ValueError, match="moe_experts"):
+        Config(model="vivit", moe_ep=True)
+    with pytest.raises(ValueError, match="mp"):
+        Config(model="vivit", moe_experts=8, moe_ep=True, mp=2)
+    with pytest.raises(ValueError, match="dp_mode"):
+        Config(model="vivit", moe_experts=8, moe_ep=True, dp_mode="fsdp")
+
+
+def test_moe_ep_trainer_matches_dense_dp(monkeypatch):
+    """config.moe_ep on a dp8 mesh: the EP step actually routes through
+    moe_ffn_ep_rows (spy), and loss + params track the dense-DP twin to
+    fp tolerance over 3 Adam steps — routing is per-row identical, the
+    all_to_all only relocates the expert compute, and the grad pmean of
+    the scattered expert slices equals the dense pmean.  Eval matches
+    too (the roomier eval capacity flows through the EP path)."""
+    from devt_tpu.parallel.mesh import make_mesh, shard_batch
+    from devt_tpu.parallel.train_step import (make_eval_step,
+                                              make_train_step,
+                                              mesh_strategy)
+
+    if len(jax.devices()) < 8:
+        import pytest
+        pytest.skip("needs the virtual 8-device mesh")
+
+    calls = []
+    real = moe.moe_ffn_ep_rows
+
+    def spy(*a, **k):
+        calls.append(k.get("n_shards"))
+        return real(*a, **k)
+
+    monkeypatch.setattr(moe, "moe_ffn_ep_rows", spy)
+
+    cfg_ep, model, fresh_ep, batch = _tiny_moe_vivit(moe_ep=True)
+    cfg_dn, _, fresh_dn, _ = _tiny_moe_vivit(moe_ep=False)
+    mesh = make_mesh(dp=8, mp=1)
+    assert mesh_strategy(mesh, cfg_ep) == "dp_shard_map"
+
+    step_ep = make_train_step(model, cfg_ep, mesh=mesh)
+    step_dn = make_train_step(model, cfg_dn, mesh=mesh)
+    st_ep, st_dn = fresh_ep(), fresh_dn()
+    for i in range(3):
+        key = jax.random.PRNGKey(7 + i)
+        st_ep, m_ep = step_ep(st_ep, shard_batch(batch, mesh), key)
+        st_dn, m_dn = step_dn(st_dn, shard_batch(batch, mesh), key)
+        np.testing.assert_allclose(float(m_ep["loss"]),
+                                   float(m_dn["loss"]), rtol=1e-5)
+        np.testing.assert_allclose(float(m_ep["moe_aux"]),
+                                   float(m_dn["moe_aux"]), rtol=1e-5)
+    assert calls and all(n == 8 for n in calls)
+    for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(st_ep.params),
+            jax.tree_util.tree_leaves_with_path(st_dn.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6,
+                                   err_msg=jax.tree_util.keystr(ka))
+
+    loss_ep, aux_ep = make_eval_step(model, cfg_ep, mesh)(
+        st_ep, shard_batch(batch, mesh))
+    loss_dn, aux_dn = make_eval_step(model, cfg_dn, mesh)(
+        st_dn, shard_batch(batch, mesh))
+    np.testing.assert_allclose(float(loss_ep), float(loss_dn), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(aux_ep["probs"]),
+                               np.asarray(aux_dn["probs"]),
+                               atol=1e-5, rtol=1e-4)
+
+
+def test_moe_ep_falls_back_when_experts_indivisible(monkeypatch):
+    """E=4 on an 8-device mesh: 4 % 8 != 0 — the block silently keeps
+    the dense path (semantically identical, just replicated compute)
+    and never calls the EP body."""
+    from devt_tpu.parallel.mesh import make_mesh, shard_batch
+    from devt_tpu.parallel.train_step import make_train_step
+
+    if len(jax.devices()) < 8:
+        import pytest
+        pytest.skip("needs the virtual 8-device mesh")
+
+    calls = []
+    real = moe.moe_ffn_ep_rows
+    monkeypatch.setattr(
+        moe, "moe_ffn_ep_rows",
+        lambda *a, **k: calls.append(1) or real(*a, **k))
+
+    cfg, model, fresh, batch = _tiny_moe_vivit(moe_ep=True, n_experts=4)
+    mesh = make_mesh(dp=8, mp=1)
+    st, metrics = make_train_step(model, cfg, mesh=mesh)(
+        fresh(), shard_batch(batch, mesh), jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    assert not calls
