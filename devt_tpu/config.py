@@ -208,7 +208,11 @@ class Config(Mapping[str, Any]):
             raise ValueError(f"unknown optimiser {self.opt!r}")
         if self.precision not in ("bf16", "f32"):
             raise ValueError(f"unknown precision {self.precision!r}")
-        if self.attention_impl not in ("auto", "pallas", "xla"):
+        # "fused_interpret" runs the fused Pallas kernels in interpret
+        # mode — the off-TPU testing value (CPU-mesh CI of kernel-only
+        # paths like pp x mp); production configs use "auto"
+        if self.attention_impl not in ("auto", "pallas", "xla",
+                                       "fused_interpret"):
             raise ValueError(f"unknown attention impl {self.attention_impl!r}")
         if self.wire_format not in ("f32", "u8", "u8_tokens"):
             raise ValueError(f"unknown wire format {self.wire_format!r}")

@@ -89,8 +89,15 @@ def shard_train_state(state, mesh: Mesh):
     parallel/mesh.make_mesh with pp > 1) the Megatron rules don't apply:
     the pp shard_map strategy takes the whole state replicated
     (``in_specs=P()``, train_step.py), so everything places replicated.
+    The same goes for ANY mesh with a ``pipe`` axis — including the 3-D
+    ``(data, pipe, model)`` mesh, whose pp_shard_map step also takes
+    replicated state and carves TP shards locally inside the body
+    (models/layers.ViTTransformer._tp_stage_fn); Megatron placement
+    there would make jit reshard the whole tree every step.
     """
-    tp = MODEL_AXIS in mesh.shape
+    from devt_tpu.parallel.pipeline import PIPE_AXIS
+
+    tp = MODEL_AXIS in mesh.shape and PIPE_AXIS not in mesh.shape
 
     def place(path, leaf):
         if not hasattr(leaf, "shape"):
@@ -113,10 +120,12 @@ def shard_variables(variables, mesh: Mesh):
                 leaf, NamedSharding(mesh, spec)),
             tree, spec_tree)
 
+    from devt_tpu.parallel.pipeline import PIPE_AXIS
+
     out = dict(variables)
     if "params" in out:
-        specs = (param_partition_specs(out["params"])
-                 if MODEL_AXIS in mesh.shape
+        tp = MODEL_AXIS in mesh.shape and PIPE_AXIS not in mesh.shape
+        specs = (param_partition_specs(out["params"]) if tp
                  else jax.tree_util.tree_map(lambda _: P(), out["params"]))
         out["params"] = place_params(specs, out["params"])
     for coll in out:

@@ -548,3 +548,31 @@ def test_moe_ep_falls_back_when_experts_indivisible(monkeypatch):
         fresh(), shard_batch(batch, mesh), jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics["loss"]))
     assert not calls
+
+
+def test_main_entry_vivit_moe_ep(tmp_path, monkeypatch):
+    """The config-driven EP-training surface end to end: --moe_ep true
+    through main() on the dp8 mesh routes every MoE layer through the
+    expert-parallel body (spy) and trains/evaluates to finite losses."""
+    import pytest
+
+    monkeypatch.chdir(tmp_path)
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the virtual 8-device mesh")
+    calls = []
+    real = moe.moe_ffn_ep_rows
+    monkeypatch.setattr(
+        moe, "moe_ffn_ep_rows",
+        lambda *a, **k: calls.append(k.get("n_shards")) or real(*a, **k))
+    from devt_tpu import main as entry
+
+    results = entry.main([
+        "--model", "vivit", "--data_set", "synthetic", "--epochs", "1",
+        "--batch_size", "8", "--frame_len", "2", "--n_classes", "7",
+        "--precision", "f32", "--max_steps", "2",
+        "--attention_impl", "xla", "--dropout", "0.0",
+        "--moe_experts", "8", "--moe_ep", "true",
+        "--checkpoint_dir", str(tmp_path / "ckpt"),
+    ])
+    assert "test/loss" in results and np.isfinite(results["test/loss"])
+    assert calls and all(n == 8 for n in calls)
