@@ -13,6 +13,10 @@ parallelism the framework ships (SCALING.md):
   * EP   — switch-MoE FFN with all_to_all expert dispatch
   * TP (shard_map) — a Megatron-split ViT block where every device runs
            the fused Pallas MHA kernel on its local heads
+  * 3-D  — DP x PP x TP in ONE train step: a (data, pipe, model) mesh
+           where every GPipe stage executes as the Megatron TP block
+  * EP (training) — config.moe_ep: the MoE FFNs shard E/n per device
+           over the DP axis, two all_to_alls per layer
 
 On a real TPU slice, delete the CPU-provisioning lines and the same code
 runs over ICI; `python -m devt_tpu.main --dp -1 --mp 2` (or
@@ -35,4 +39,4 @@ if __name__ == "__main__":
     from __graft_entry__ import dryrun_multichip
 
     dryrun_multichip(8)
-    print("all seven parallelism legs ran one fwd+bwd step — see SCALING.md")
+    print("all ten parallelism legs ran one fwd+bwd step — see SCALING.md")
