@@ -143,6 +143,18 @@ class Config(Mapping[str, Any]):
                                        # params stack (depth, ...) so pp
                                        # checkpoints differ from pp=1 trees)
     pp_microbatches: int = 0           # GPipe microbatches (0 = pp)
+    sp: int = 1                        # sequence/context-parallel width
+                                       # (>1: the vivit space
+                                       # transformer's token axis shards
+                                       # over a "seq" mesh axis and
+                                       # attention runs the kv ring —
+                                       # parallel/ring_attention.py;
+                                       # composes with dp only, needs
+                                       # dropout == 0 and the padded
+                                       # token count divisible by sp;
+                                       # declares the stacked pb_* param
+                                       # layout, interchangeable with pp
+                                       # checkpoints)
     attention_impl: str = "auto"       # "auto" | "pallas" | "xla"
     dp_mode: str = "auto"              # multi-device mp==1 strategy:
                                        # "auto" = shard_map over data (fused
@@ -238,6 +250,19 @@ class Config(Mapping[str, Any]):
                                  "dropout rngs)")
             if self.moe_experts > 0:
                 raise ValueError("pp > 1 does not compose with MoE blocks")
+        if self.sp > 1:
+            if self.mp > 1 or self.pp > 1:
+                raise ValueError("sp composes with dp only (mp=pp=1)")
+            if self.model != "vivit":
+                raise ValueError("sequence parallelism is implemented "
+                                 "for the vivit space transformer "
+                                 "(config.sp)")
+            if self.dropout > 0.0:
+                raise ValueError("sp > 1 requires dropout == 0.0 (the "
+                                 "ring block has no dropout sites)")
+            if self.moe_experts > 0:
+                raise ValueError("sp > 1 does not compose with MoE "
+                                 "blocks")
         if self.moe_ep:
             if self.moe_experts <= 0:
                 raise ValueError("moe_ep requires moe_experts > 0")

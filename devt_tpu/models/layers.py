@@ -441,6 +441,12 @@ class ViTTransformer(nn.Module):
     # interchangeable across pipeline_stages settings).
     pipeline_stages: int = 0
     pipeline_microbatches: int = 0
+    # sequence_parallel: declare the SAME stacked pb_* layout as the pp
+    # path (checkpoints interchangeable) and, when tracing inside an
+    # sp_shard_map (config.sp > 1 — parallel/ring_attention.sp_scope),
+    # run every block context-parallel over the "seq" mesh axis via the
+    # kv ring.  Requires dropout == 0 and moe_experts == 0, like pp.
+    sequence_parallel: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def _stacked_block_params(self):
@@ -492,6 +498,71 @@ class ViTTransformer(nn.Module):
 
         return block
 
+    def _stacked_cast(self):
+        """Declare the stacked pb_* block params and apply the dtype
+        convention: weight matrices (ndim 3 stacked: (depth, K, N))
+        follow the model dtype, LN/bias rows stay f32."""
+        import jax as _jax
+
+        return _jax.tree_util.tree_map(
+            lambda v: v.astype(self.dtype) if v.ndim == 3
+            and v.shape[-2] > 1 else v, self._stacked_block_params())
+
+    def _sp_stack(self, x, kv_len: int):
+        """The sequence-parallel execution path (``sequence_parallel``,
+        config.sp): the SAME stacked pb_* declaration as the pp layout
+        (checkpoints are interchangeable between sp and pp runs), run
+        sequentially depth-first — but inside an sp_shard_map trace
+        (parallel/ring_attention.sp_scope) each device slices its token
+        chunk and every block executes as the kv-ring context-parallel
+        layer (`_ring_block_local`): LN/projections/FFN local to the
+        chunk, K/V shards rotating over neighbour ICI.  Per-device
+        activation memory is O(S/n).  No reference analogue (tiny
+        sequences, src/config.yaml:3-4) — long-context scaling headroom
+        with a product surface.
+        """
+        import jax as _jax
+
+        from devt_tpu.parallel.ring_attention import (SEQ_AXIS,
+                                                      _ring_block_local,
+                                                      active_sp_mesh)
+
+        stacked = self._stacked_cast()
+
+        def take(tree, i):
+            return _jax.tree_util.tree_map(lambda v: v[i], tree)
+
+        mesh = active_sp_mesh()
+        n = dict(mesh.shape).get(SEQ_AXIS, 1) if mesh is not None else 1
+        if n <= 1:
+            # no seq mesh: sequential execution of the same stacked tree
+            block = self._block_math(kv_len)
+            for i in range(self.depth):
+                x = block(take(stacked, i), x)
+            return x
+        if self.heads * self.dim_head != self.dim:
+            raise ValueError(
+                f"sequence-parallel blocks need heads*dim_head == dim; "
+                f"got dim={self.dim} heads={self.heads} "
+                f"dim_head={self.dim_head}")
+        s = x.shape[1]
+        if s % n:
+            raise ValueError(
+                f"sp needs the (padded) token count divisible by the "
+                f"seq axis; got {s} tokens over sp={n}")
+        heads, scale = self.heads, self.dim_head ** -0.5
+        idx = _jax.lax.axis_index(SEQ_AXIS)
+        xs = _jax.lax.dynamic_slice_in_dim(x, idx * (s // n), s // n, 1)
+        for j in range(self.depth):
+            xs = _ring_block_local(xs, take(stacked, j), heads=heads,
+                                   scale=scale, kv_len=kv_len,
+                                   axis_name=SEQ_AXIS, n_shards=n)
+        # hand every seq device the full sequence back (pooling and the
+        # rest of the model run replicated); the all_gather transpose
+        # carries the n× cotangent factor that makes the step body's
+        # uniform seq-axis grad pmean exact (parallel/train_step.py)
+        return _jax.lax.all_gather(xs, SEQ_AXIS, axis=1, tiled=True)
+
     def _pipelined_stack(self, x, kv_len: int):
         """The pipeline_stages > 1 execution path (see class note)."""
         import jax as _jax
@@ -499,11 +570,7 @@ class ViTTransformer(nn.Module):
         from devt_tpu.parallel.pipeline import (PIPE_AXIS, active_pipe_mesh,
                                                 pipeline_apply)
 
-        # weight matrices (ndim 3 stacked: (depth, K, N)) follow the model
-        # dtype, LN/bias rows stay f32 — the _block_params convention
-        stacked = _jax.tree_util.tree_map(
-            lambda v: v.astype(self.dtype) if v.ndim == 3
-            and v.shape[-2] > 1 else v, self._stacked_block_params())
+        stacked = self._stacked_cast()
         block = self._block_math(kv_len)
         n_stages = self.pipeline_stages
         per = self.depth // n_stages
@@ -611,6 +678,13 @@ class ViTTransformer(nn.Module):
             assert self.moe_experts == 0 and self.dropout == 0.0, \
                 "pp composes with dense dropout-free stacks (config.py)"
             y = self._pipelined_stack(
+                x, kv_len if kv_len is not None else x.shape[1])
+            return nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype,
+                                name="norm")(y)
+        if self.sequence_parallel:
+            assert self.moe_experts == 0 and self.dropout == 0.0, \
+                "sp composes with dense dropout-free stacks (config.py)"
+            y = self._sp_stack(
                 x, kv_len if kv_len is not None else x.shape[1])
             return nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype,
                                 name="norm")(y)

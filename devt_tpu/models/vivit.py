@@ -147,6 +147,12 @@ class ViViT(nn.Module):
     # layers.ViTTransformer.pipeline_stages).
     pipeline_stages: int = 0
     pipeline_microbatches: int = 0
+    # sequence_parallel (config.sp > 1): the SPACE transformer's token
+    # axis shards over a "seq" mesh axis and attention runs the kv ring
+    # (parallel/ring_attention.py); declares the same stacked pb_*
+    # layout as pp (checkpoints interchangeable).  The temporal
+    # transformer stays dense — its per-frame CLS sequence is tiny.
+    sequence_parallel: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -177,6 +183,7 @@ class ViViT(nn.Module):
             moe_capacity_factor=self.moe_capacity_factor,
             pipeline_stages=self.pipeline_stages,
             pipeline_microbatches=self.pipeline_microbatches,
+            sequence_parallel=self.sequence_parallel,
             dtype=self.dtype, name="space_transformer")
         t_impl = (self.attention_impl if self.temporal_attention_impl is None
                   else self.temporal_attention_impl)

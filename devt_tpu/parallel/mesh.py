@@ -9,7 +9,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
-def make_mesh(dp: int = -1, mp: int = 1, pp: int = 1, devices=None) -> Mesh:
+def make_mesh(dp: int = -1, mp: int = 1, pp: int = 1, sp: int = 1,
+              devices=None) -> Mesh:
     """2-D ``(data, model)`` mesh — ``(data, pipe)`` when ``pp > 1`` —
     or the full 3-D ``(data, pipe, model)`` mesh when both ``pp > 1``
     and ``mp > 1``.  ``dp=-1`` uses all devices / (mp·pp).
@@ -26,9 +27,27 @@ def make_mesh(dp: int = -1, mp: int = 1, pp: int = 1, devices=None) -> Mesh:
     fastest-varying — i.e. physically adjacent — axis, while the GPipe
     ppermute hops the middle axis and the once-per-step DP grad pmean
     rides the outermost.
+
+    ``sp > 1`` builds a ``(data, seq)`` mesh instead: the token axis of
+    ViViT's space transformer shards over ``seq`` and attention runs the
+    kv ring (parallel/ring_attention.py) — neighbour-ICI context
+    parallelism; composes with dp only.
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
+    if sp > 1:
+        if mp != 1 or pp != 1:
+            raise ValueError("sp composes with dp only (mp=pp=1); got "
+                             f"mp={mp} pp={pp} sp={sp}")
+        from devt_tpu.parallel.ring_attention import SEQ_AXIS
+        if dp == -1:
+            if n % sp:
+                raise ValueError(f"{n} devices not divisible by sp={sp}")
+            dp = n // sp
+        if dp * sp > n:
+            raise ValueError(f"mesh {dp}x{sp} exceeds {n} devices")
+        grid = np.asarray(devices[: dp * sp]).reshape(dp, sp)
+        return Mesh(grid, (DATA_AXIS, SEQ_AXIS))
     if pp > 1:
         from devt_tpu.parallel.pipeline import PIPE_AXIS
         per = pp * mp

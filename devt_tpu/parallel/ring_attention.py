@@ -23,13 +23,40 @@ neighbour ICI links — bandwidth-optimal context parallelism.
 
 from __future__ import annotations
 
+import contextlib
 import functools
+import threading
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 NEG_INF = -1e30
+SEQ_AXIS = "seq"
+
+_sp_gate = threading.local()
+
+
+@contextlib.contextmanager
+def sp_scope(mesh: Mesh):
+    """Trace-time context: the sp_shard_map step factories
+    (parallel/train_step.py) set this around their shard_map trace so
+    ``ViTTransformer`` (models/layers.py) knows its body executes inside
+    a shard_map with a ``seq`` axis and routes its stacked block stack
+    through the kv ring (:func:`_ring_block_local`) on locally-sliced
+    tokens.  Re-entrant, thread-local, scope-bounded — the
+    pipeline_scope / tp_pallas_scope / moe_ep_scope discipline."""
+    prev = getattr(_sp_gate, "mesh", None)
+    _sp_gate.mesh = mesh
+    try:
+        yield
+    finally:
+        _sp_gate.mesh = prev
+
+
+def active_sp_mesh():
+    """The mesh set by :func:`sp_scope`, or None."""
+    return getattr(_sp_gate, "mesh", None)
 
 
 def _local_block(q, k, v, *, scale: float, col_offset, kv_len: int):

@@ -96,6 +96,9 @@ def mesh_strategy(mesh, config: Config | None = None) -> str:
     from devt_tpu.parallel.pipeline import PIPE_AXIS
     if shape.get(PIPE_AXIS, 1) > 1:
         return "pp_shard_map"
+    from devt_tpu.parallel.ring_attention import SEQ_AXIS
+    if shape.get(SEQ_AXIS, 1) > 1:
+        return "sp_shard_map"
     if shape.get(MODEL_AXIS, 1) > 1 or DATA_AXIS not in shape:
         return "gspmd"
     mode = getattr(config, "dp_mode", "auto") if config is not None \
@@ -189,6 +192,7 @@ def _make_step_body(model, config: Config,
                     constrain_grads: Callable | None = None,
                     pipe_axis: str | None = None,
                     tp_axis: str | None = None,
+                    seq_axis: str | None = None,
                     reduce_grads: Callable | None = None) -> Callable:
     """Un-jitted ``(state, batch, rng) -> (state, metrics)`` — one full
     fwd+bwd+update.  Shared by the single-step and multi-step executors.
@@ -212,6 +216,14 @@ def _make_step_body(model, config: Config,
     only on that device's model shard — a model-axis psum reassembles
     them — while LN scales/offsets and post-psum biases, touched through
     replicated activations, pmean (identical across the axis).
+
+    With ``seq_axis`` set (the (data, seq) SP mesh) the reduction is a
+    UNIFORM pmean over the axis for every grad leaf: the sp stack's
+    closing all_gather transposes to a psum_scatter whose cross-device
+    sum contributes exactly the n× factor pmean's 1/n cancels for
+    params upstream of the gather (per-chunk partial grads), while
+    params downstream of it carry identical replicated grads
+    (models/layers.ViTTransformer._sp_stack).
     """
     accum = max(config.accum_steps, 1)
 
@@ -293,6 +305,12 @@ def _make_step_body(model, config: Config,
             aux = {k: jax.lax.pmean(v, axes) for k, v in aux.items()}
             for ax in axes:
                 new_ms = _pmean_floats(new_ms, ax)
+
+        if seq_axis is not None:
+            grads = jax.lax.pmean(grads, seq_axis)
+            loss = jax.lax.pmean(loss, seq_axis)
+            aux = {k: jax.lax.pmean(v, seq_axis) for k, v in aux.items()}
+            new_ms = _pmean_floats(new_ms, seq_axis)
 
         if constrain_grads is not None:
             grads = constrain_grads(grads)
@@ -409,6 +427,23 @@ def make_train_step(model, config: Config, mesh=None) -> Callable:
         return jax.jit(dp_traced, donate_argnums=(0,))
     if strategy == "fsdp_shard_map":
         return _make_fsdp_shard_map(model, config, mesh, n_steps=None)
+    if strategy == "sp_shard_map":
+        from devt_tpu.parallel.ring_attention import SEQ_AXIS, sp_scope
+
+        body = _make_step_body(model, config, axis_name=DATA_AXIS,
+                               seq_axis=SEQ_AXIS)
+
+        def sp_traced(state, batch, rng):
+            # scope active while the shard_map body traces, so the
+            # model's ViTTransformer routes its stacked stack through
+            # the kv ring on locally-sliced tokens (models/layers.py)
+            with sp_scope(mesh):
+                return jax.shard_map(
+                    body, mesh=mesh,
+                    in_specs=(P(), P(DATA_AXIS), P()),
+                    out_specs=(P(), P()), check_vma=False)(
+                        state, batch, rng)
+        return jax.jit(sp_traced, donate_argnums=(0,))
     if strategy == "pp_shard_map":
         from devt_tpu.parallel.pipeline import PIPE_AXIS, pipeline_scope
 
@@ -461,21 +496,24 @@ def make_multi_step(model, config: Config, n_steps: int,
     strategy = mesh_strategy(mesh, config)
     if strategy == "fsdp_shard_map":
         return _make_fsdp_shard_map(model, config, mesh, n_steps=n_steps)
-    axis = DATA_AXIS if strategy in ("dp_shard_map", "pp_shard_map") \
-        else None
+    axis = DATA_AXIS if strategy in ("dp_shard_map", "pp_shard_map",
+                                     "sp_shard_map") else None
     if strategy == "dp_shard_map":
         model = _sync_bn(model)
     cp, cg = (_gspmd_sharding_hooks(mesh, config)
               if strategy == "gspmd" else (None, None))
-    pipe = tp_ax = None
+    pipe = tp_ax = seq = None
     if strategy == "pp_shard_map":
         from devt_tpu.parallel.pipeline import PIPE_AXIS
         pipe = PIPE_AXIS
         tp_ax = MODEL_AXIS \
             if dict(mesh.shape).get(MODEL_AXIS, 1) > 1 else None
+    if strategy == "sp_shard_map":
+        from devt_tpu.parallel.ring_attention import SEQ_AXIS
+        seq = SEQ_AXIS
     body = _make_step_body(model, config, axis_name=axis,
                            constrain_params=cp, constrain_grads=cg,
-                           pipe_axis=pipe, tp_axis=tp_ax)
+                           pipe_axis=pipe, tp_axis=tp_ax, seq_axis=seq)
 
     def multi_step(state: TrainState, batches, rng):
         def scan_body(carry, batch):
@@ -505,6 +543,17 @@ def make_multi_step(model, config: Config, n_steps: int,
                     out_specs=(P(), P()), check_vma=False)(
                         state, batches, rng)
         return jax.jit(traced, donate_argnums=(0,))
+    if strategy == "sp_shard_map":
+        from devt_tpu.parallel.ring_attention import sp_scope
+
+        def sp_traced(state, batches, rng):
+            with sp_scope(mesh):
+                return jax.shard_map(
+                    multi_step, mesh=mesh,
+                    in_specs=(P(), P(None, DATA_AXIS), P()),
+                    out_specs=(P(), P()), check_vma=False)(
+                        state, batches, rng)
+        return jax.jit(sp_traced, donate_argnums=(0,))
     if strategy == "gspmd":
         tp_scope = _tp_scope_for(mesh, config)
 
@@ -572,8 +621,9 @@ def make_eval_step(model, config: Config, mesh=None) -> Callable:
             return cache["fn"](state, batch)
 
         return run_fsdp
-    if strategy in ("dp_shard_map", "pp_shard_map"):
+    if strategy in ("dp_shard_map", "pp_shard_map", "sp_shard_map"):
         pipe = strategy == "pp_shard_map"
+        seq = strategy == "sp_shard_map"
 
         def body(state, batch):
             loss, aux = eval_body(state, batch, axis_name=DATA_AXIS)
@@ -588,6 +638,12 @@ def make_eval_step(model, config: Config, mesh=None) -> Callable:
                     # 3-D mesh: likewise replicated across the TP axis
                     # by the per-block psums
                     loss = jax.lax.pmean(loss, MODEL_AXIS)
+            if seq:
+                from devt_tpu.parallel.ring_attention import SEQ_AXIS
+
+                # replicated across seq devices by the closing
+                # all_gather — consistency no-op
+                loss = jax.lax.pmean(loss, SEQ_AXIS)
 
             def rep(x):
                 x = jnp.asarray(x)
@@ -602,14 +658,15 @@ def make_eval_step(model, config: Config, mesh=None) -> Callable:
         ep_scope = _moe_ep_scope_for(mesh, config)
 
         def run(state, batch):
-            if not pipe:
-                with ep_scope():
-                    return jax.shard_map(
-                        body, mesh=mesh, in_specs=(P(), P(DATA_AXIS)),
-                        out_specs=(P(), P()), check_vma=False)(state, batch)
-            from devt_tpu.parallel.pipeline import pipeline_scope
-
-            with pipeline_scope(mesh):
+            if pipe:
+                from devt_tpu.parallel.pipeline import pipeline_scope
+                scope = pipeline_scope(mesh)
+            elif seq:
+                from devt_tpu.parallel.ring_attention import sp_scope
+                scope = sp_scope(mesh)
+            else:
+                scope = ep_scope()
+            with scope:
                 return jax.shard_map(
                     body, mesh=mesh, in_specs=(P(), P(DATA_AXIS)),
                     out_specs=(P(), P()), check_vma=False)(state, batch)

@@ -69,6 +69,7 @@ def build_model(config: Config) -> nn.Module:
                      moe_capacity_factor=config.moe_capacity_factor,
                      pipeline_stages=config.pp if config.pp > 1 else 0,
                      pipeline_microbatches=config.pp_microbatches,
+                     sequence_parallel=config.sp > 1,
                      remat=config.remat, dtype=dtype)
 
     if name == "tpn":

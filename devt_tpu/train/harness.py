@@ -57,7 +57,8 @@ class Trainer:
         self.config = config
         self.callbacks = list(callbacks)
         self.logger = logger or JsonlLogger(name=config.name)
-        self.mesh = mesh or (make_mesh(config.dp, config.mp, config.pp)
+        self.mesh = mesh or (make_mesh(config.dp, config.mp, config.pp,
+                                       getattr(config, "sp", 1))
                              if use_mesh else None)
         self.buffers = RunningBuffers()
         self._rng = jax.random.PRNGKey(config.seed)
