@@ -17,6 +17,8 @@ parallelism the framework ships (SCALING.md):
            where every GPipe stage executes as the Megatron TP block
   * EP (training) — config.moe_ep: the MoE FFNs shard E/n per device
            over the DP axis, two all_to_alls per layer
+  * SP (training) — config.sp: the space transformer's token axis
+           shards over a (data, seq) mesh, attention runs the kv ring
 
 On a real TPU slice, delete the CPU-provisioning lines and the same code
 runs over ICI; `python -m devt_tpu.main --dp -1 --mp 2` (or
@@ -39,4 +41,4 @@ if __name__ == "__main__":
     from __graft_entry__ import dryrun_multichip
 
     dryrun_multichip(8)
-    print("all ten parallelism legs ran one fwd+bwd step — see SCALING.md")
+    print("all eleven parallelism legs ran one fwd+bwd step — see SCALING.md")
