@@ -182,6 +182,16 @@ class Config(Mapping[str, Any]):
                                        # routing/updates bit-match the
                                        # dense path; needs
                                        # moe_experts % n_devices == 0
+    moment_dtype: str = "f32"          # "bf16": Adam/AdamW first moments
+                                       # (mu) kept in bfloat16 — halves the
+                                       # momentum buffer's HBM. The second
+                                       # moment (nu) stays f32: it
+                                       # accumulates squares, where bf16's
+                                       # 8-bit mantissa visibly biases the
+                                       # adaptive denominator. For the full
+                                       # optimizer-memory win use
+                                       # opt="adafactor" (factored second
+                                       # moments, ~params-sized state)
     log_every: int = 50
     eval_every_epochs: int = 1
     checkpoint_dir: str = "checkpoints"
@@ -216,8 +226,10 @@ class Config(Mapping[str, Any]):
 
     # ------------------------------------------------------------------
     def __post_init__(self) -> None:
-        if self.opt not in ("sgd", "adamW", "adagrad", "adam"):
+        if self.opt not in ("sgd", "adamW", "adagrad", "adam", "adafactor"):
             raise ValueError(f"unknown optimiser {self.opt!r}")
+        if self.moment_dtype not in ("f32", "bf16"):
+            raise ValueError(f"unknown moment_dtype {self.moment_dtype!r}")
         if self.precision not in ("bf16", "f32"):
             raise ValueError(f"unknown precision {self.precision!r}")
         # "fused_interpret" runs the fused Pallas kernels in interpret

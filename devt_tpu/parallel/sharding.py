@@ -53,7 +53,12 @@ def _spec_for(path: str, ndim: int) -> P:
         return P()
     for key, spec in _RULES:
         if key in path:
-            return spec
+            # Rank guard: optimizer states need not mirror their
+            # parameter's rank (Adafactor factors a (d, f) kernel's
+            # second moment into 1-D row/col vectors, and a 3-D moe_w*
+            # moment into 2-D factors).  A spec longer than the leaf's
+            # rank is invalid — such leaves replicate instead.
+            return spec if len(spec) <= ndim else P()
     return P()
 
 

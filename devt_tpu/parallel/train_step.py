@@ -105,7 +105,15 @@ def mesh_strategy(mesh, config: Config | None = None) -> str:
         else "auto"
     if mode == "fsdp":
         clip = getattr(config, "grad_clip_norm", 0.0)
-        return "gspmd" if (clip and clip > 0.0) else "fsdp_shard_map"
+        # Adafactor's factored second moments are cross-row/col
+        # statistics of the FULL parameter — the explicit shard_map
+        # formulation updates each local shard independently, which
+        # would factor over local rows only and diverge from the dense
+        # trainer.  The gspmd trace partitions the factored update
+        # correctly (state still lives sharded via fsdp.shard_train_state).
+        adafactor = getattr(config, "opt", "adamW") == "adafactor"
+        return ("gspmd" if (clip and clip > 0.0) or adafactor
+                else "fsdp_shard_map")
     if mode in ("gspmd", "fsdp_gspmd"):
         return "gspmd"
     return "dp_shard_map"

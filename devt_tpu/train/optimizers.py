@@ -12,6 +12,11 @@ Dispatch on ``config.opt`` (src/config.yaml:16) mirrors
   * ``adam``    — contrastive/LSTM/MLP models (contrastivemodel.py:63,
                   LSTM.py:46-47, basicmlp.py:38-41; torch Adam
                   weight_decay is L2).
+  * ``adafactor`` — TPU-native addition (no reference equivalent):
+                  factored second moments + bf16 momentum bound optimizer
+                  HBM at ~1/2 params-size vs Adam's 2x params.
+``config.moment_dtype="bf16"`` additionally keeps Adam/AdamW first
+moments in bfloat16 (second moments stay f32 — see build_optimizer).
 
 ``linear_warmup_cosine``: pl_bolts ``LinearWarmupCosineAnnealingLR`` with
 ``warmup_epochs = epochs // 10`` (contrastivemodel.py:84), stepped per
@@ -21,6 +26,7 @@ epoch in Lightning — here expressed per optimizer step via
 
 from __future__ import annotations
 
+import jax.numpy as jnp
 import optax
 
 from devt_tpu.config import Config
@@ -45,15 +51,35 @@ def build_optimizer(config: Config, steps_per_epoch: int = 1
 
     wd = config.weight_decay
     opt = config.opt
+    # TPU-native memory knob (no reference equivalent): bf16 first
+    # moments halve the momentum buffer.  nu stays f32 — it accumulates
+    # squares, where bf16's 8-bit mantissa biases the adaptive
+    # denominator; mu only feeds the update numerator, where rounding is
+    # ~unbiased noise (test_optimizers.py pins trajectory agreement).
+    mu_dtype = jnp.bfloat16 if config.moment_dtype == "bf16" else None
     if opt == "sgd":
         tx = optax.chain(optax.add_decayed_weights(wd),
                          optax.sgd(lr, momentum=config.momentum))
     elif opt == "adamW":
-        tx = optax.adamw(lr, weight_decay=wd)
+        tx = optax.adamw(lr, weight_decay=wd, mu_dtype=mu_dtype)
     elif opt == "adagrad":
         tx = optax.chain(optax.add_decayed_weights(wd), optax.adagrad(lr))
     elif opt == "adam":
-        tx = optax.chain(optax.add_decayed_weights(wd), optax.adam(lr))
+        tx = optax.chain(optax.add_decayed_weights(wd),
+                         optax.adam(lr, mu_dtype=mu_dtype))
+    elif opt == "adafactor":
+        # Beyond parity, for the reference's widest regime (d=2048, 8
+        # layers — src/config.yaml:21-25): factored second moments keep
+        # optimizer state ~1/2 params-sized vs Adam's 2x params, the
+        # standard production choice when HBM bounds model size.
+        # multiply_by_parameter_scale=False + momentum → "Adafactor as
+        # a drop-in AdamW": same lr scale conventions as the rest of
+        # the dispatch, mu in bf16 by construction (dtype_momentum).
+        tx = optax.adafactor(
+            lr, multiply_by_parameter_scale=False, momentum=0.9,
+            dtype_momentum=(jnp.bfloat16 if config.moment_dtype == "bf16"
+                            else jnp.float32),
+            weight_decay_rate=(wd if wd > 0.0 else None))
     else:
         raise ValueError(f"unknown optimiser {opt!r}")
     clip = getattr(config, "grad_clip_norm", 0.0)
