@@ -70,10 +70,22 @@ class Loader:
         self.process_index = process_index
         self.process_count = process_count or 1
         self._epoch = 0
+        self._skip_batches = 0
 
     def __len__(self) -> int:
         per_host = len(self.dataset) // self.process_count
         return per_host // self.batch_size
+
+    def set_epoch(self, epoch: int, skip_batches: int = 0) -> None:
+        """Position the stream: the next ``__iter__`` runs epoch ``epoch``'s
+        permutation (``default_rng(seed + epoch)`` — the torch
+        ``DataLoader(shuffle=True)`` reshuffle-per-epoch contract the
+        reference trains under, src/dataloaders/MMX_Temporal_dl.py), minus
+        its first ``skip_batches`` batches (step-exact resume from a
+        mid-epoch checkpoint).  The Trainer calls this every epoch; a
+        fresh Loader otherwise replays epoch 0's order."""
+        self._epoch = int(epoch)
+        self._skip_batches = int(skip_batches)
 
     def _epoch_indices(self) -> np.ndarray:
         rng = np.random.default_rng(self.seed + self._epoch)
@@ -92,6 +104,14 @@ class Loader:
         indices = self._epoch_indices()
         self._epoch += 1
         n_batches = len(indices) // self.batch_size
+        if self._skip_batches:
+            # step-exact resume: drop the batches a checkpointed run
+            # already consumed at the INDEX level (no decode cost), so
+            # the stream continues exactly where it left off
+            skip = min(self._skip_batches, n_batches)
+            indices = indices[skip * self.batch_size:]
+            n_batches -= skip
+            self._skip_batches = 0
         if n_batches == 0:
             return
 

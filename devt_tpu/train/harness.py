@@ -144,6 +144,14 @@ class Trainer:
                       if unroll > 1 and not needs_train_aux else None)
 
         global_step = int(state.step)
+        # step-exact resume: a restored step count maps back to (epoch,
+        # batch-within-epoch), so the data stream continues exactly where
+        # the checkpointed run stopped instead of replaying from the top
+        # (Lightning restores the loop position the same way; here the
+        # mapping is exact because rng folds on state.step and every
+        # epoch's permutation is a pure function of (seed, epoch))
+        start_epoch = global_step // steps_per_epoch if global_step else 0
+        resume_skip = global_step % steps_per_epoch if global_step else 0
         timer = StepTimer()
         profiling_on = False
         run_steps = 0      # TRAIN steps executed in THIS run (multi-step
@@ -151,12 +159,18 @@ class Trainer:
                            # window must not shift (or capture the fresh
                            # compile) when resuming from a checkpoint
         try:
-            for epoch in range(cfg.epochs):
+            for epoch in range(start_epoch, cfg.epochs):
+                loader = datamodule.train_batches()
+                if hasattr(loader, "set_epoch"):
+                    # reshuffle-per-epoch (the torch DataLoader
+                    # shuffle=True contract) + mid-epoch resume skip
+                    loader.set_epoch(
+                        epoch, resume_skip if epoch == start_epoch else 0)
                 # device-side double buffering: batches are device_put
                 # ``host_batch_prefetch`` steps ahead of consumption, so
                 # the H2D copy of step N+1 overlaps step N's compute
                 placed_iter = device_prefetch(
-                    datamodule.train_batches(), placer=self._place,
+                    loader, placer=self._place,
                     depth=max(cfg.host_batch_prefetch, 1))
                 if multi_step is not None:
                     placed_iter = _stacked(placed_iter, unroll)

@@ -307,7 +307,14 @@ def test_main_resume_continues_from_checkpoint(tmp_path, monkeypatch):
     first = ckpt.latest_checkpoint(str(tmp_path / "ck"))
     assert first and first.endswith("step_4")
 
-    args2 = [a if a != "4" else "8" for a in args] + ["--resume", first]
+    # Resume is step-exact (Lightning loop-position semantics): step 4 is
+    # the END of epoch 0 (synthetic spe=4), so the resumed run must ask
+    # for a second epoch to train further — and must then run exactly
+    # epoch 1 (4 steps → step_8), not replay from the top (the
+    # pre-positioning behaviour would run TWO full epochs → step_12).
+    args2 = [a if a != "4" else "8" for a in args]
+    args2[args2.index("--epochs") + 1] = "2"
+    args2 += ["--resume", first]
     entry.main(args2)
     assert ckpt.latest_checkpoint(
         str(tmp_path / "ck")).endswith("step_8")
