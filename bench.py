@@ -1105,6 +1105,44 @@ def bench_moe_vivit_train(batch_size: int = 32) -> dict:
                     "twin"}
 
 
+def bench_adafactor_vivit_train(batch_size: int = 32) -> dict:
+    """opt=adafactor on the north-star config vs the AdamW twin — the
+    optimizer-memory knob's step cost on chip.  Adafactor's factored
+    second moments cut optimizer state from 2x params (f32 mu+nu) to
+    ~0.5x; the update is a handful of VPU passes over the params, so
+    the step-rate delta should be noise on this FLOPs-dominated model.
+    State bytes are reported for both (train/optimizers.py)."""
+    from devt_tpu.parallel.train_step import make_train_step
+
+    def state_bytes(st):
+        import numpy as np
+
+        return int(sum(x.size * np.dtype(x.dtype).itemsize
+                       for x in jax.tree_util.tree_leaves(st.opt_state)
+                       if hasattr(x, "dtype")))
+
+    import jax
+
+    cfg, model, state, batch = _north_star_setup(batch_size)
+    t_adam = _timed_steps(make_train_step(model, cfg), state, batch)
+    adam_bytes = state_bytes(state)
+
+    cfg2, model2, state2, batch2 = _north_star_setup(
+        batch_size, opt="adafactor", moment_dtype="bf16")
+    t_ada = _timed_steps(make_train_step(model2, cfg2), state2, batch2)
+    ada_bytes = state_bytes(state2)
+
+    return {"name": "adafactor_vivit_train",
+            "value": round(batch_size / t_ada, 1), "unit": "clips/sec/chip",
+            "detail": {"step_ms": round(t_ada * 1e3, 2),
+                       "adamw_step_ms": round(t_adam * 1e3, 2),
+                       "speed_vs_adamw": round(t_adam / t_ada, 3),
+                       "opt_state_mb": round(ada_bytes / 1e6, 2),
+                       "adamw_opt_state_mb": round(adam_bytes / 1e6, 2)},
+            "note": "factored+bf16 optimizer state (~0.5x params) vs "
+                    "AdamW's 2x, same train step otherwise"}
+
+
 def bench_fsdp_vivit_train(batch_size: int = 32) -> dict:
     """FSDP-placed ViViT step on a 1-device mesh, BOTH formulations:
 
@@ -1204,7 +1242,8 @@ def run_all() -> list[dict]:
                bench_dp_shard_map1_train, bench_eval_shard_map1,
                bench_tp_block_mp1, bench_sp_ring_sp1,
                bench_pp_vivit_stacked,
-               bench_moe_vivit_train, bench_fsdp_vivit_train):
+               bench_moe_vivit_train, bench_fsdp_vivit_train,
+               bench_adafactor_vivit_train):
         try:
             results.append(fn())
         except Exception as e:  # noqa: BLE001
