@@ -790,9 +790,11 @@ def _north_star_setup(batch_size: int = 32, **cfg_kw):
     from devt_tpu.train.optimizers import build_optimizer
     from devt_tpu.train.state import TrainState
 
-    cfg = Config(model="vivit", batch_size=batch_size, frame_len=16,
-                 n_classes=19, opt="adamW", learning_rate=1e-4,
-                 precision="bf16", accum_steps=1, **cfg_kw)
+    base = dict(model="vivit", batch_size=batch_size, frame_len=16,
+                n_classes=19, opt="adamW", learning_rate=1e-4,
+                precision="bf16", accum_steps=1)
+    base.update(cfg_kw)          # callers may override any default
+    cfg = Config(**base)
     model = build_model(cfg)
     rng = np.random.default_rng(0)
     batch = {
