@@ -128,8 +128,20 @@ class Trainer:
     def fit(self, model, datamodule) -> TrainState:
         cfg = self.config
         datamodule.setup()
+        # steps_per_epoch must count what the loop ACTUALLY executes: the
+        # per-host Loader yields (len(ds)//process_count)//batch_size
+        # batches, so on multi-host runs datamodule.train_steps (whole-
+        # dataset count) would mis-map the resume (epoch, skip) inversion
+        # and overstate the lr schedule (round-4 advisor finding) —
+        # prefer len(loader) whenever the loader is sized
         steps_per_epoch = max(getattr(datamodule, "train_steps", 1), 1)
-        example = next(iter(datamodule.train_batches()))
+        _loader0 = datamodule.train_batches()
+        try:
+            steps_per_epoch = max(len(_loader0), 1)
+        except TypeError:
+            pass    # unsized iterable (synthetic generators): keep
+                    # the datamodule's declared count
+        example = next(iter(_loader0))
         state = self._init_state(model, example, steps_per_epoch)
         self._saver = ckpt_lib.AsyncSaver()
 
@@ -149,9 +161,16 @@ class Trainer:
         # the checkpointed run stopped instead of replaying from the top
         # (Lightning restores the loop position the same way; here the
         # mapping is exact because rng folds on state.step and every
-        # epoch's permutation is a pure function of (seed, epoch))
-        start_epoch = global_step // steps_per_epoch if global_step else 0
-        resume_skip = global_step % steps_per_epoch if global_step else 0
+        # epoch's permutation is a pure function of (seed, epoch)).
+        # With multi-step unrolling, _stacked drops the trailing partial
+        # group, so an epoch advances global_step by unroll*(spe//unroll)
+        # — the inversion must use THAT count or a resume lands mid-epoch
+        # off by the dropped tail (round-4 advisor finding)
+        epoch_steps = (unroll * (steps_per_epoch // unroll)
+                       if multi_step is not None else steps_per_epoch)
+        epoch_steps = max(epoch_steps, 1)
+        start_epoch = global_step // epoch_steps if global_step else 0
+        resume_skip = global_step % epoch_steps if global_step else 0
         timer = StepTimer()
         profiling_on = False
         run_steps = 0      # TRAIN steps executed in THIS run (multi-step

@@ -193,3 +193,26 @@ def test_ssl_val_logs_truth_guess_table(tmp_path):
     # entries are genre-name lists
     assert all(isinstance(row[0], list) and isinstance(row[1], list)
                for row in table["data"])
+
+
+def test_mesh_fallback_warns_loudly(tmp_path, recwarn):
+    """Round-4 verdict item 5: >1 visible device with a batch size that
+    does not divide the data axis must WARN (stderr + warnings), not
+    silently train on one device of the slice."""
+    import warnings
+
+    from devt_tpu.main import main as entry_main
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        entry_main(["--model", "ptn", "--data_set", "synthetic",
+                    "--epochs", "1", "--batch_size", "3", "--seq_len",
+                    "3", "--nlayers", "1", "--input_dimension", "32",
+                    "--nhid", "32", "--nhead", "2", "--n_classes", "15",
+                    "--precision", "f32", "--max_steps", "2",
+                    "--attention_impl", "xla", "--dropout", "0.0",
+                    "--checkpoint_dir", str(tmp_path / "ck")])
+    msgs = [str(w.message) for w in caught
+            if issubclass(w.category, RuntimeWarning)]
+    assert any("mesh is DISABLED" in m and "batch_size=3" in m
+               for m in msgs), msgs

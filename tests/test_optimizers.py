@@ -187,3 +187,45 @@ def test_harness_trains_with_adafactor(tmp_path):
         state, loss = step(state)
         first = loss if first is None else first
     assert float(loss) < float(first) / 5.0
+
+
+def test_adafactor_weight_decay_matches_adamw_magnitude():
+    """Round-4 advisor (high): optax.adafactor's weight_decay_rate decays
+    by wd per step regardless of lr — at the config defaults
+    (wd=0.09, lr=5e-6) that is ~18,000x stronger than the adamW branch
+    and destroys training.  The dispatch now chains a decoupled
+    lr-scaled decay instead; with zero gradients both optimizers must
+    shrink params by exactly (1 - lr*wd) per step."""
+    lr, wd, steps = 5e-6, 0.09, 10
+    params = {"w": jnp.full((4, 4), 2.0, jnp.float32)}
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+
+    ratios = {}
+    for opt in ("adamW", "adafactor"):
+        cfg = Config(opt=opt, learning_rate=lr, weight_decay=wd)
+        tx = build_optimizer(cfg)
+        opt_state = tx.init(params)
+        p = params
+        for _ in range(steps):
+            updates, opt_state = tx.update(zeros, opt_state, p)
+            p = jax.tree_util.tree_map(lambda a, u: a + u, p, updates)
+        ratios[opt] = float(p["w"][0, 0] / params["w"][0, 0])
+
+    expected = (1.0 - lr * wd) ** steps
+    assert abs(ratios["adamW"] - expected) < 1e-6, ratios
+    assert abs(ratios["adafactor"] - expected) < 1e-6, ratios
+
+
+def test_adafactor_decay_follows_schedule():
+    """The chained decay uses the CURRENT schedule lr (adamW semantics),
+    not a constant: with the contrastive warmup-cosine schedule active,
+    step 0's decay is zero (lr(0) == 0 at warmup start)."""
+    cfg = Config(opt="adafactor", model="contrastive", scheduling=True,
+                 learning_rate=1e-2, weight_decay=0.5, epochs=20)
+    tx = build_optimizer(cfg, steps_per_epoch=10)
+    params = {"w": jnp.full((4,), 2.0, jnp.float32)}
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+    opt_state = tx.init(params)
+    updates, _ = tx.update(zeros, opt_state, params)
+    # warmup starts at init_value=0.0 -> no decay on the first step
+    np.testing.assert_allclose(np.asarray(updates["w"]), 0.0, atol=1e-12)

@@ -133,3 +133,89 @@ def test_resumed_fit_matches_uninterrupted(tmp_path, monkeypatch):
     for a, b in zip(jax.tree_util.tree_leaves(state_a.params),
                     jax.tree_util.tree_leaves(state_b.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class _DM2Host(_DM):
+    """Same datamodule but the Loader shards over process_count=2 — the
+    harness must size its epoch from the PER-HOST loader length (2
+    batches here), not the whole-dataset train_steps (4)."""
+
+    def train_batches(self):
+        return Loader(self.ds, self.cfg.batch_size, shuffle=True,
+                      seed=self.cfg.seed, num_workers=1,
+                      process_index=0, process_count=2)
+
+    def val_batches(self):
+        loader = Loader(self.ds, self.cfg.batch_size, num_workers=1,
+                        process_index=0, process_count=2)
+        return iter(loader)
+
+
+def test_resume_uses_per_host_loader_length(tmp_path, monkeypatch):
+    """Round-4 advisor (medium): with process_count=2 the loader yields
+    (16//2)//4 = 2 batches/epoch while train_steps says 4.  The resume
+    inversion must use the per-host count or a mid-run restart silently
+    replays/skips batches.  Stop at step 3 (mid-epoch-1 in per-host
+    terms), resume, and demand bit-identical params vs uninterrupted."""
+    monkeypatch.chdir(tmp_path)
+    from devt_tpu.train import checkpoint as ckpt
+
+    base = Config(model="ptn", batch_size=4, seq_len=4, nlayers=1,
+                  input_dimension=64, nhid=64, nhead=2, dropout=0.0,
+                  n_classes=15, experts=("a", "b"), learning_rate=1e-3,
+                  opt="adamW", precision="f32", attention_impl="xla",
+                  eval_every_epochs=100, log_every=1000)
+
+    cfg_a = base.replace(epochs=3, checkpoint_dir=str(tmp_path / "ck_a"))
+    state_a = _fit(cfg_a, _DM2Host(cfg_a))
+    assert int(state_a.step) == 6          # 3 epochs x 2 per-host batches
+
+    cfg_b1 = base.replace(epochs=3, max_steps=3,
+                          checkpoint_dir=str(tmp_path / "ck_b"))
+    _fit(cfg_b1, _DM2Host(cfg_b1))
+    mid = ckpt.latest_checkpoint(str(tmp_path / "ck_b"))
+    assert mid.endswith("step_3")
+    cfg_b2 = base.replace(epochs=3, resume=mid,
+                          checkpoint_dir=str(tmp_path / "ck_b2"))
+    state_b = _fit(cfg_b2, _DM2Host(cfg_b2))
+
+    assert int(state_b.step) == 6
+    for a, b in zip(jax.tree_util.tree_leaves(state_a.params),
+                    jax.tree_util.tree_leaves(state_b.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_resume_accounts_for_unroll_tail_drop(tmp_path, monkeypatch):
+    """Round-4 advisor (low): with unroll_steps=4 and 10 batches/epoch,
+    _stacked drops the trailing partial group, so each epoch advances
+    global_step by 8, not 10.  A resume at an epoch boundary (step 16 =
+    2 full epochs) must restart at epoch 2 batch 0 — the old inversion
+    (16 // 10 -> epoch 1, skip 6) re-trained mid-epoch-1 batches."""
+    monkeypatch.chdir(tmp_path)
+    from devt_tpu.train import checkpoint as ckpt
+
+    base = Config(model="ptn", batch_size=4, seq_len=4, nlayers=1,
+                  input_dimension=64, nhid=64, nhead=2, dropout=0.0,
+                  n_classes=15, experts=("a", "b"), learning_rate=1e-3,
+                  opt="adamW", precision="f32", attention_impl="xla",
+                  eval_every_epochs=100, log_every=1000, unroll_steps=4)
+
+    def dm(cfg):
+        return _DM(cfg, n=40)              # 10 batches/epoch at bs=4
+
+    cfg_a = base.replace(epochs=3, checkpoint_dir=str(tmp_path / "ck_a"))
+    state_a = _fit(cfg_a, dm(cfg_a))
+    assert int(state_a.step) == 24         # 3 epochs x 4*(10//4)
+
+    cfg_b1 = base.replace(epochs=2, checkpoint_dir=str(tmp_path / "ck_b"))
+    _fit(cfg_b1, dm(cfg_b1))
+    mid = ckpt.latest_checkpoint(str(tmp_path / "ck_b"))
+    assert mid.endswith("step_16")
+    cfg_b2 = base.replace(epochs=3, resume=mid,
+                          checkpoint_dir=str(tmp_path / "ck_b2"))
+    state_b = _fit(cfg_b2, dm(cfg_b2))
+
+    assert int(state_b.step) == 24
+    for a, b in zip(jax.tree_util.tree_leaves(state_a.params),
+                    jax.tree_util.tree_leaves(state_b.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
