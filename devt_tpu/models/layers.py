@@ -553,10 +553,12 @@ class ViTTransformer(nn.Module):
         heads, scale = self.heads, self.dim_head ** -0.5
         idx = _jax.lax.axis_index(SEQ_AXIS)
         xs = _jax.lax.dynamic_slice_in_dim(x, idx * (s // n), s // n, 1)
+        interpret = self.attention_impl == "fused_interpret"
         for j in range(self.depth):
             xs = _ring_block_local(xs, take(stacked, j), heads=heads,
                                    scale=scale, kv_len=kv_len,
-                                   axis_name=SEQ_AXIS, n_shards=n)
+                                   axis_name=SEQ_AXIS, n_shards=n,
+                                   interpret=interpret)
         # hand every seq device the full sequence back (pooling and the
         # rest of the model run replicated); the all_gather transpose
         # carries the n× cotangent factor that makes the step body's

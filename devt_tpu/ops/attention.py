@@ -86,24 +86,40 @@ def active_tp_mesh():
 
 
 @contextlib.contextmanager
-def quant_scope():
+def quant_scope(site_pred=None):
     """Trace-time context: ViT blocks route their big matmuls through
     the int8 weight+activation path (ops/quant.py) — set by
     ``serve.Predictor(quantize=True)`` around its forward trace, read by
     ``models/layers.ViTBlock``.  Serving only (eval semantics; the
     quantized block has no dropout or backward).  Re-entrant,
-    thread-local, scope-bounded like :func:`pallas_disabled`."""
+    thread-local, scope-bounded like :func:`pallas_disabled`.
+
+    ``site_pred``: optional ``(k, n) -> bool`` filter over Dense
+    contraction shapes — sites it rejects fall back to the plain bf16
+    contraction.  Used by the per-site Amdahl accounting in
+    ``bench_int8_serving_ptn`` (round-4 verdict item 3) to freeze one
+    site group at a time; production serving leaves it None."""
     prev = getattr(_gate, "quant", False)
+    prev_pred = getattr(_gate, "quant_pred", None)
     _gate.quant = True
+    _gate.quant_pred = site_pred
     try:
         yield
     finally:
         _gate.quant = prev
+        _gate.quant_pred = prev_pred
 
 
 def quant_active() -> bool:
     """True inside :func:`quant_scope`."""
     return bool(getattr(_gate, "quant", False))
+
+
+def quant_site_allowed(k: int, n: int) -> bool:
+    """Whether the active quant_scope wants the ``(…, k)·(k, n)`` Dense
+    site quantized (True unless a ``site_pred`` rejects it)."""
+    pred = getattr(_gate, "quant_pred", None)
+    return True if pred is None else bool(pred(k, n))
 
 
 def _auto_pallas_ok() -> bool:

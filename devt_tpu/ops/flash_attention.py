@@ -767,3 +767,168 @@ def fused_mha(qkv, *, heads: int, scale: float | None = None,
     if s_p != s:
         o = o[:, :s]
     return o
+
+
+# ---------------------------------------------------------------------------
+# Ring-step kernels: one hop of ring/context-parallel attention.
+#
+# The SP/CP surface (parallel/ring_attention.py) rotates packed K/V shards
+# around the device ring; each hop is "local q against the current kv
+# shard" — exactly the per-head math of the _mha_* kernels above with the
+# q and kv sources SEPARATED (q stays local, kv arrives via ppermute) and
+# the kv-position mask DYNAMIC (which global columns the shard covers
+# depends on the traced ring step, so the mask rides in as a (1, S) f32
+# additive bias instead of the static ``kv_len`` iota the single-device
+# kernels use).  The forward hop returns per-head normalised (o, lse);
+# the across-hop flash combine and the ring backward's dq/dkv
+# accumulation live in parallel/ring_attention.py (the ring is ONE
+# custom-vjp there — these kernels are its building blocks).  Round-4
+# verdict item 2: the previous jnp hop priced at +149% vs the fused
+# block; these kernels put every hop's FLOPs on the same MXU path as
+# fused_mha.
+# ---------------------------------------------------------------------------
+
+
+def _ring_fwd_kernel(q_ref, kv_ref, mask_ref, o_ref, lse_ref,
+                     *, heads: int, d: int, scale: float):
+    mask = mask_ref[...]                                     # (1, S) f32
+    for i in range(heads):
+        q = q_ref[:, :, i * d:(i + 1) * d]                   # (G, S, D)
+        k = kv_ref[:, :, i * d:(i + 1) * d]
+        v = kv_ref[:, :, (heads + i) * d:(heads + i + 1) * d]
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale      # (G, S, S)
+        s = s + mask[None]
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            (p / l).astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        o_ref[:, :, i * d:(i + 1) * d] = o.astype(o_ref.dtype)
+        lse_ref[:, :, i * _LANES:(i + 1) * _LANES] = jnp.broadcast_to(
+            m + jnp.log(l), (m.shape[0], m.shape[1], _LANES))
+
+
+def _ring_bwd_kernel(q_ref, kv_ref, mask_ref, o_ref, do_ref, lse_ref,
+                     dq_ref, dkv_ref, *, heads: int, d: int, scale: float):
+    """One backward hop: grads of the GLOBAL attention output wrt the
+    local q and the currently-held kv shard.  ``lse_ref`` carries the
+    final (all-shards) logsumexp, so ``p = exp(s - lse)`` is each
+    column's true global attention weight and the standard flash
+    backward identities apply per hop; dq sums across hops on the
+    device, dkv travels home with its shard (ring_attention.py)."""
+    mask = mask_ref[...]
+    for i in range(heads):
+        q = q_ref[:, :, i * d:(i + 1) * d]
+        k = kv_ref[:, :, i * d:(i + 1) * d]
+        v = kv_ref[:, :, (heads + i) * d:(heads + i + 1) * d]
+        do = do_ref[:, :, i * d:(i + 1) * d]
+        o = o_ref[:, :, i * d:(i + 1) * d]
+        lse = lse_ref[:, :, i * _LANES:i * _LANES + 1]       # (G, S, 1)
+        delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                        axis=-1, keepdims=True)
+
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale
+        s = s + mask[None]
+        p = jnp.exp(s - lse)                                 # (G, S, S)
+
+        dv = jax.lax.dot_general(
+            p.astype(do.dtype), do, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(
+            do, v, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        ds = p * (dp - delta) * scale
+        dq = jax.lax.dot_general(
+            ds.astype(k.dtype), k, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        dk = jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        dq_ref[:, :, i * d:(i + 1) * d] = dq.astype(dq_ref.dtype)
+        dkv_ref[:, :, i * d:(i + 1) * d] = dk.astype(dkv_ref.dtype)
+        dkv_ref[:, :, (heads + i) * d:(heads + i + 1) * d] = \
+            dv.astype(dkv_ref.dtype)
+
+
+def _ring_group(b: int, s_p: int, heads: int, d: int, bwd: bool) -> int:
+    # same budget model as _mha_group: Mosaic double-buffers every
+    # block.  HD-sized buffers: fwd q + kv(2) + o = 4; bwd additionally
+    # o, do, dq, dkv(2) on top of q + kv(2) = 8
+    n_hd_bufs = 8 if bwd else 4
+    per_row = 2 * ((n_hd_bufs * heads * s_p * d * 2)
+                   + heads * s_p * _LANES * 4)
+    per_row += 3 * s_p * s_p * 4 + 2 * s_p * heads * d * 4
+    budget = (8 if bwd else 10) << 20
+    g = min(6 if bwd else 12, max(1, budget // per_row))
+    while g > 1 and b % g:
+        g -= 1
+    return int(g)
+
+
+def ring_step_fwd(q, kv, mask, *, heads: int, scale: float,
+                  interpret: bool = False):
+    """One forward ring hop.  q (B, S, H*D) local queries, kv
+    (B, S, 2*H*D) the currently-held packed shard, mask (1, S) additive
+    f32 column bias (0 valid / NEG_INF masked).  Returns per-head
+    block-normalised o (B, S, H*D) and lse (B, S, H*_LANES) f32."""
+    b, s_p, hd = q.shape
+    d = hd // heads
+    g = _ring_group(b, s_p, heads, d, bwd=False)
+    kernel = functools.partial(_ring_fwd_kernel, heads=heads, d=d,
+                               scale=scale)
+    return pl.pallas_call(
+        kernel,
+        grid=(b // g,),
+        in_specs=[
+            pl.BlockSpec((g, s_p, hd), lambda i: (i, 0, 0)),
+            pl.BlockSpec((g, s_p, 2 * hd), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, s_p), lambda i: (0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((g, s_p, hd), lambda i: (i, 0, 0)),
+            pl.BlockSpec((g, s_p, heads * _LANES), lambda i: (i, 0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, s_p, hd), q.dtype),
+            jax.ShapeDtypeStruct((b, s_p, heads * _LANES), jnp.float32),
+        ),
+        interpret=interpret,
+    )(q, kv, mask)
+
+
+def ring_step_bwd(q, kv, mask, o, lse, do, *, heads: int, scale: float,
+                  interpret: bool = False):
+    """One backward ring hop → (dq_partial, dkv_partial), both f32 (they
+    accumulate across hops — bf16 accumulation would round n times)."""
+    b, s_p, hd = q.shape
+    d = hd // heads
+    g = _ring_group(b, s_p, heads, d, bwd=True)
+    kernel = functools.partial(_ring_bwd_kernel, heads=heads, d=d,
+                               scale=scale)
+    return pl.pallas_call(
+        kernel,
+        grid=(b // g,),
+        in_specs=[
+            pl.BlockSpec((g, s_p, hd), lambda i: (i, 0, 0)),
+            pl.BlockSpec((g, s_p, 2 * hd), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, s_p), lambda i: (0, 0)),
+            pl.BlockSpec((g, s_p, hd), lambda i: (i, 0, 0)),
+            pl.BlockSpec((g, s_p, hd), lambda i: (i, 0, 0)),
+            pl.BlockSpec((g, s_p, heads * _LANES), lambda i: (i, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((g, s_p, hd), lambda i: (i, 0, 0)),
+            pl.BlockSpec((g, s_p, 2 * hd), lambda i: (i, 0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, s_p, hd), jnp.float32),
+            jax.ShapeDtypeStruct((b, s_p, 2 * hd), jnp.float32),
+        ),
+        interpret=interpret,
+        # arg order matches the kernel signature: (..., o, do, lse)
+    )(q, kv, mask, o, do, lse)

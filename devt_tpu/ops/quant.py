@@ -183,6 +183,13 @@ def int8_dot_general(lhs, rhs, dimension_numbers, precision=None,
     ((lc, rc), (lb, rb)) = dimension_numbers
     assert (tuple(lc), tuple(rc)) == ((lhs.ndim - 1,), (0,)) \
         and not lb and not rb, dimension_numbers
+    from devt_tpu.ops.attention import quant_site_allowed
+
+    if not quant_site_allowed(int(rhs.shape[0]), int(rhs.shape[1])):
+        # per-site ablation (quant_scope(site_pred=…)): this site stays
+        # on the plain contraction in the module's own dtype
+        return jax.lax.dot_general(lhs, rhs.astype(lhs.dtype),
+                                   dimension_numbers)
     w_q, w_scale = _site_weight(rhs, axis=0)
     m = 1
     for d_ in lhs.shape[:-1]:

@@ -151,23 +151,78 @@ def ring_attention(q, k, v, mesh: Mesh, *, axis: str = "data",
 
 
 def _ring_block_local(x, params, *, heads: int, scale: float, kv_len: int,
-                      axis_name: str, n_shards: int):
+                      axis_name: str, n_shards: int,
+                      interpret: bool = False, impl: str = "auto"):
     """Local shard of a pre-norm ViT block (x: (B, S/n, D)); the same
     math as ops/fused_block.reference_vit_block, with the attention core
-    swapped for the kv ring."""
+    swapped for the kv ring.
+
+    Two tiers (``impl``): ``"pallas"`` runs every hop in the ring-step
+    kernels with model-dtype (bf16) MXU matmuls around them — the same
+    structure as the TP block (parallel/tp_block._tp_block_local), which
+    prices the shard_map machinery at ~+24% vs the fused block instead
+    of the jnp tier's +149% (round-4 verdict item 2); ``"jnp"`` is the
+    f32 einsum tier (any shape, any backend); ``"auto"`` picks pallas on
+    TPU (or under ``interpret``) when the chunk fits one kv block."""
+    from devt_tpu.ops.flash_attention import fits_single_block
     from devt_tpu.ops.fused_block import _gelu, _ln
 
     f32 = jnp.float32
     b, s_local, dim = x.shape
     d = dim // heads
+    hd = heads * d
+    use_kernel = impl == "pallas" or (
+        impl == "auto" and fits_single_block(s_local)
+        and (interpret or jax.default_backend() == "tpu"))
+
     x32 = x.astype(f32)
     a, _, _, _ = _ln(x32, params["g1"].astype(f32), params["b1"].astype(f32))
+
+    if use_kernel:
+        # model-dtype matmuls (MXU rate on bf16 params), f32 accumulate
+        wqkv = params["wqkv"].astype(x.dtype)
+        if n_shards == 1:
+            qkv = jax.lax.dot_general(
+                a.astype(x.dtype), wqkv,
+                (((2,), (0,)), ((), ())), preferred_element_type=f32)
+            att = ring_mha(qkv.astype(x.dtype), heads=heads, scale=scale,
+                           kv_len=kv_len, axis_name=axis_name,
+                           n_shards=1, interpret=interpret)
+        else:
+            # q and the rotating kv as TWO projections: same FLOPs as
+            # one packed matmul, no post-hoc slice copies (the weight
+            # slices fold at trace time)
+            q = jax.lax.dot_general(
+                a.astype(x.dtype), wqkv[:, :hd],
+                (((2,), (0,)), ((), ())), preferred_element_type=f32)
+            kvp = jax.lax.dot_general(
+                a.astype(x.dtype), wqkv[:, hd:],
+                (((2,), (0,)), ((), ())), preferred_element_type=f32)
+            att = ring_mha_split(
+                q.astype(x.dtype), kvp.astype(x.dtype), heads=heads,
+                scale=scale, kv_len=kv_len, axis_name=axis_name,
+                n_shards=n_shards, interpret=interpret)
+        u = x32 + jax.lax.dot_general(
+            att.astype(x.dtype), params["wo"].astype(x.dtype),
+            (((2,), (0,)), ((), ())), preferred_element_type=f32) \
+            + params["bo"].astype(f32)
+        h2, _, _, _ = _ln(u, params["g2"].astype(f32),
+                          params["b2"].astype(f32))
+        ff = _gelu(jax.lax.dot_general(
+            h2.astype(x.dtype), params["w1"].astype(x.dtype),
+            (((2,), (0,)), ((), ())), preferred_element_type=f32)
+            + params["bb1"].astype(f32))
+        y = u + jax.lax.dot_general(
+            ff.astype(x.dtype), params["w2"].astype(x.dtype),
+            (((2,), (0,)), ((), ())), preferred_element_type=f32) \
+            + params["bb2"].astype(f32)
+        return y.astype(x.dtype)
+
     qkv = a @ params["wqkv"].astype(f32)                 # (B, S/n, 3HD)
 
     def split(t):   # heads are contiguous i*d slices (fused-block layout)
         return t.reshape(b, s_local, heads, d).transpose(0, 2, 1, 3)
 
-    hd = heads * d
     q, k, v = (split(qkv[..., :hd]), split(qkv[..., hd:2 * hd]),
                split(qkv[..., 2 * hd:]))
     att = ring_attention_local(q, k, v, axis_name=axis_name,
@@ -183,7 +238,8 @@ def _ring_block_local(x, params, *, heads: int, scale: float, kv_len: int,
 
 def ring_vit_block(x, params, mesh: Mesh, *, heads: int,
                    scale: float | None = None, kv_len: int | None = None,
-                   axis: str = "data"):
+                   axis: str = "data", interpret: bool = False,
+                   impl: str = "auto"):
     """Context-parallel pre-norm ViT block over ``mesh[axis]``.
 
     x (B, S, D) with S divisible by the axis size; ``params`` is the
@@ -202,9 +258,191 @@ def ring_vit_block(x, params, mesh: Mesh, *, heads: int,
         _ring_block_local, heads=heads,
         scale=d ** -0.5 if scale is None else scale,
         kv_len=s if kv_len is None else kv_len,
-        axis_name=axis, n_shards=n)
+        axis_name=axis, n_shards=n, interpret=interpret, impl=impl)
     pspec = jax.tree_util.tree_map(lambda _: P(), params)
+    # check_vma=False: the pallas tier's kernels carry no varying-mesh-
+    # axes annotation (repo convention — parallel/train_step.py:349)
     mapped = jax.shard_map(fn, mesh=mesh,
                            in_specs=(P(None, axis, None), pspec),
-                           out_specs=P(None, axis, None))
+                           out_specs=P(None, axis, None),
+                           check_vma=False)
     return mapped(x, params)
+
+
+# ---------------------------------------------------------------------------
+# Kernel-backed ring MHA (round-4 verdict item 2): every hop's FLOPs run
+# in the ring-step Pallas kernels (ops/flash_attention.ring_step_fwd/bwd
+# — the same per-head MXU math as fused_mha), the across-hop flash
+# combine is a cheap elementwise rescale, and the WHOLE ring is one
+# custom-vjp whose backward re-rotates the kv shards: dq accumulates on
+# the device, each shard's (dk, dv) travels the full circle home.  The
+# jnp tier above remains the fallback for shapes past the single-block
+# VMEM budget and for callers outside a shard_map.
+# ---------------------------------------------------------------------------
+
+
+def _colmask(blk, s_chunk: int, s_p: int, kv_len: int):
+    """(1, s_p) additive f32 mask for the kv shard ``blk``: local row j
+    covers global column ``blk*s_chunk + j``; rows past ``s_chunk`` are
+    this shard's tile padding, columns past ``kv_len`` global padding."""
+    j = jnp.arange(s_p, dtype=jnp.int32)[None, :]
+    valid = (j < s_chunk) & (blk * s_chunk + j < kv_len)
+    return jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32)
+
+
+def _combine(o, lse, o_i, lse_i, heads: int):
+    """Flash combine of two per-head block-normalised partials.
+    o/o_i (B, S, H*D) [o f32 accumulator], lse/lse_i (B, S, H) f32."""
+    b, s, hd = o.shape
+    d = hd // heads
+    oh = o.reshape(b, s, heads, d)
+    oih = o_i.astype(jnp.float32).reshape(b, s, heads, d)
+    mx = jnp.maximum(lse, lse_i)
+    w = jnp.exp(lse - mx)[..., None]                  # (B, S, H, 1)
+    wi = jnp.exp(lse_i - mx)[..., None]
+    o_new = (oh * w + oih * wi) / (w + wi)
+    lse_new = mx + jnp.log(jnp.exp(lse - mx) + jnp.exp(lse_i - mx))
+    return o_new.reshape(b, s, hd), lse_new
+
+
+def _lse_heads(lse_lanes, heads: int):
+    """(B, S, H*LANES) kernel lse → compact (B, S, H)."""
+    b, s, _ = lse_lanes.shape
+    return lse_lanes.reshape(b, s, heads, -1)[..., 0]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8))
+def _ring_mha(q, kv, heads, scale, kv_len, s_chunk, axis_name, n_shards,
+              interpret):
+    o, _ = _ring_mha_fwd(q, kv, heads, scale, kv_len, s_chunk, axis_name,
+                         n_shards, interpret)
+    return o
+
+
+def _ring_mha_fwd(q, kv, heads, scale, kv_len, s_chunk, axis_name,
+                  n_shards, interpret):
+    from devt_tpu.ops.flash_attention import ring_step_fwd
+
+    b, s_p, hd = q.shape
+    if n_shards == 1:
+        o, lse_lanes = ring_step_fwd(
+            q, kv, _colmask(jnp.int32(0), s_chunk, s_p, kv_len),
+            heads=heads, scale=scale, interpret=interpret)
+        return o, (q, kv, o, _lse_heads(lse_lanes, heads))
+
+    my = jax.lax.axis_index(axis_name)
+    perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+
+    def body(carry, t):
+        kv_cur, o, lse = carry
+        blk = jax.lax.rem(my - t + n_shards, n_shards)
+        o_i, lse_i = ring_step_fwd(
+            q, kv_cur, _colmask(blk, s_chunk, s_p, kv_len),
+            heads=heads, scale=scale, interpret=interpret)
+        o, lse = _combine(o, lse, o_i, _lse_heads(lse_i, heads), heads)
+        kv_nxt = jax.lax.ppermute(kv_cur, axis_name, perm)
+        return (kv_nxt, o, lse), None
+
+    o0 = jnp.zeros((b, s_p, hd), jnp.float32)
+    lse0 = jnp.full((b, s_p, heads), NEG_INF, jnp.float32)
+    # derive varying-over-axis typing from q (see ring_attention_local)
+    o0 = o0 + q[..., :1].astype(jnp.float32) * 0.0
+    lse0 = lse0 + q[..., :1].astype(jnp.float32) * 0.0
+    (_, o, lse), _ = jax.lax.scan(
+        body, (kv, o0, lse0), jnp.arange(n_shards))
+    o = o.astype(q.dtype)
+    return o, (q, kv, o, lse)
+
+
+def _ring_mha_bwd(heads, scale, kv_len, s_chunk, axis_name, n_shards,
+                  interpret, res, do):
+    from devt_tpu.ops.flash_attention import _LANES, ring_step_bwd
+
+    q, kv, o, lse = res
+    b, s_p, hd = q.shape
+    lse_lanes = jnp.broadcast_to(lse[..., None],
+                                 (b, s_p, heads, _LANES)
+                                 ).reshape(b, s_p, heads * _LANES)
+    if n_shards == 1:
+        dq, dkv = ring_step_bwd(
+            q, kv, _colmask(jnp.int32(0), s_chunk, s_p, kv_len),
+            o, lse_lanes, do, heads=heads, scale=scale, interpret=interpret)
+        return dq.astype(q.dtype), dkv.astype(kv.dtype)
+
+    my = jax.lax.axis_index(axis_name)
+    perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+
+    def body(carry, t):
+        kv_cur, dkv_cur, dq = carry
+        blk = jax.lax.rem(my - t + n_shards, n_shards)
+        dq_p, dkv_p = ring_step_bwd(
+            q, kv_cur, _colmask(blk, s_chunk, s_p, kv_len),
+            o, lse_lanes, do, heads=heads, scale=scale, interpret=interpret)
+        dq = dq + dq_p
+        dkv_cur = dkv_cur + dkv_p
+        # the accumulator travels WITH its shard: after n hops each
+        # shard's (dk, dv) has collected every device's contribution
+        # and sits back on its home device
+        kv_nxt = jax.lax.ppermute(kv_cur, axis_name, perm)
+        dkv_nxt = jax.lax.ppermute(dkv_cur, axis_name, perm)
+        return (kv_nxt, dkv_nxt, dq), None
+
+    dkv0 = jnp.zeros((b, s_p, 2 * hd), jnp.float32) \
+        + q[..., :1].astype(jnp.float32) * 0.0
+    dq0 = jnp.zeros((b, s_p, hd), jnp.float32) \
+        + q[..., :1].astype(jnp.float32) * 0.0
+    (_, dkv, dq), _ = jax.lax.scan(
+        body, (kv, dkv0, dq0), jnp.arange(n_shards))
+    return dq.astype(q.dtype), dkv.astype(kv.dtype)
+
+
+_ring_mha.defvjp(_ring_mha_fwd, _ring_mha_bwd)
+
+
+def ring_mha_split(q, kv, *, heads: int, scale: float | None = None,
+                   kv_len: int | None = None, axis_name: str = SEQ_AXIS,
+                   n_shards: int = 1, interpret: bool = False):
+    """Ring attention on pre-split q (B, S/n, H*D) / packed kv
+    (B, S/n, 2*H*D) — call INSIDE shard_map.  ``kv_len`` is the true
+    GLOBAL kv length (tile padding beyond it is masked).  Every hop runs
+    in the ring-step Pallas kernels; the whole ring is one custom-vjp
+    (backward re-rotates kv and walks each shard's gradient home).
+    Callers that own the qkv projection should produce q and kv as two
+    matmuls (a @ wqkv[:, :hd] / a @ wqkv[:, hd:]) — slicing a packed
+    qkv tensor instead costs an extra HBM round trip per block
+    (chip-measured ~0.25 ms at the sp bench shape)."""
+    from devt_tpu.ops.flash_attention import _round_up
+
+    b, s_chunk, hd = q.shape
+    d = hd // heads
+    if scale is None:
+        scale = d ** -0.5
+    if kv_len is None:
+        kv_len = n_shards * s_chunk
+    s_p = _round_up(s_chunk, 16)
+    if s_p != s_chunk:
+        pad = ((0, 0), (0, s_p - s_chunk), (0, 0))
+        q, kv = jnp.pad(q, pad), jnp.pad(kv, pad)
+    o = _ring_mha(q, kv, heads, scale, kv_len, s_chunk, axis_name,
+                  n_shards, interpret)
+    return o[:, :s_chunk]
+
+
+def ring_mha(qkv, *, heads: int, scale: float | None = None,
+             kv_len: int | None = None, axis_name: str = SEQ_AXIS,
+             n_shards: int = 1, interpret: bool = False):
+    """Packed-qkv ring attention over a sharded sequence — call INSIDE
+    shard_map.  qkv (B, S/n, 3*H*D) in fused_mha's (3, H, D) feature
+    order → (B, S/n, H*D).  A 1-shard "ring" IS single-device attention,
+    so it dispatches straight to the packed fused_mha kernel (no q/kv
+    split copies, no combine); rings of n > 1 split once and rotate kv
+    (:func:`ring_mha_split`)."""
+    from devt_tpu.ops.flash_attention import fused_mha
+
+    if n_shards == 1:
+        return fused_mha(qkv, heads=heads, scale=scale, kv_len=kv_len,
+                         interpret=interpret)
+    hd = qkv.shape[-1] // 3
+    return ring_mha_split(qkv[..., :hd], qkv[..., hd:], heads=heads,
+                          scale=scale, kv_len=kv_len, axis_name=axis_name,
+                          n_shards=n_shards, interpret=interpret)

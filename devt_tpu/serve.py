@@ -43,7 +43,7 @@ class Predictor:
     def __init__(self, config: Config, variables: Mapping[str, Any],
                  buckets: Sequence[int] = (1, 8, 32),
                  threshold: float = 0.3, mesh=None,
-                 quantize: bool = False):
+                 quantize: bool = False, quant_site_pred=None):
         """``quantize=True`` serves the transformer hot path int8
         (ops/quant.py): weights per-channel, activations dynamic
         per-token, contractions on the MXU's int8 path through the fused
@@ -52,7 +52,12 @@ class Predictor:
         the rounding; weights frozen at construction), bigger trees are
         pre-quantized once at init and enter the serving jit as int8
         ARGUMENTS (no multi-hundred-MB HLO literals — the production
-        shape for wide models like PTN)."""
+        shape for wide models like PTN).
+
+        ``quant_site_pred``: optional ``(k, n) -> bool`` Dense-site
+        filter (ops/attention.quant_scope) — the per-site Amdahl
+        accounting hook (bench_int8_serving_ptn); None serves every
+        eligible site int8."""
         self.config = config
         self.model = build_model(config)
         self.variables = dict(variables)
@@ -121,7 +126,7 @@ class Predictor:
                 # ``pred.variables`` (checkpoint hot-swap) do not reach
                 # the Predictor; rebuild it instead.
                 def forward(_, batch):  # noqa: F811 — quantized wrapper
-                    with quant_scope():
+                    with quant_scope(quant_site_pred):
                         return base(frozen, batch)
             else:
                 # arg mode (big models): baking hundreds of MB of f32
@@ -136,12 +141,14 @@ class Predictor:
                                                   batch_size=1).items()
                         if k != "label"}
                 sites: list = []
-                with quant_scope(), quant_sites_collect(sites):
+                with quant_scope(quant_site_pred), \
+                        quant_sites_collect(sites):
                     base(frozen, tiny)
                 self._qsites = sites
 
                 def forward(variables, batch, qsites):  # noqa: F811
-                    with quant_scope(), quant_sites_provide(qsites):
+                    with quant_scope(quant_site_pred), \
+                            quant_sites_provide(qsites):
                         return base(variables, batch)
 
         if mesh is not None and mesh.size > 1:

@@ -227,3 +227,192 @@ def r3d(sd: Mapping[str, Any], layers: tuple = (2, 2, 2, 2),
     if with_fc and "fc.weight" in sd:
         params["fc"] = linear(sd, "fc")
     return {"params": params, "batch_stats": stats}
+
+
+# ---------------------------------------------------------------------------
+# CLI runbook: user-supplied zoo checkpoint file → devt_tpu params on disk.
+#
+# The zero-egress build environment can never download the torchvision/
+# Lightning zoo bytes the reference loads (models/pretrained/models.py:
+# 10-20, frame_transformer.py:53,67), so the converters above are proven
+# against committed golden state_dicts instead.  A user WITH the bytes
+# runs:
+#
+#     python -m devt_tpu.utils.torch_port \
+#         --ckpt r2plus1d_18-91a641e6.pth --arch r2plus1d \
+#         --out params/r2plus1d --selfcheck
+#
+# and gets the ≤1e-3 logit-parity port on day one.  ``--selfcheck``
+# builds the flax model, runs one forward, and (for fixtures carrying a
+# reference input/output pair) asserts the parity bound.
+# ---------------------------------------------------------------------------
+
+
+def _flatten_tree(tree: Mapping, prefix: str = "") -> dict:
+    flat = {}
+    for k, v in tree.items():
+        key = f"{prefix}/{k}" if prefix else str(k)
+        if isinstance(v, Mapping):
+            flat.update(_flatten_tree(v, key))
+        else:
+            flat[key] = np.asarray(v)
+    return flat
+
+
+def _unflatten_tree(flat: Mapping[str, np.ndarray]) -> dict:
+    tree: dict = {}
+    for key, v in flat.items():
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return tree
+
+
+def save_variables(variables: Mapping, out_dir: str) -> str:
+    """Write ported variables as ``<out_dir>/variables.npz`` with
+    ``collection::path/to/leaf`` keys (portable, torch-free)."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    flat = {}
+    for coll, tree in variables.items():
+        for k, v in _flatten_tree(tree).items():
+            flat[f"{coll}::{k}"] = v
+    path = os.path.join(out_dir, "variables.npz")
+    np.savez(path, **flat)
+    return path
+
+
+def load_variables(path: str) -> dict:
+    """Inverse of :func:`save_variables` — nested variables dict ready
+    for ``model.apply`` / ``Predictor``."""
+    z = np.load(path)
+    colls: dict = {}
+    for key in z.files:
+        coll, flat_key = key.split("::", 1)
+        colls.setdefault(coll, {})[flat_key] = z[key]
+    return {coll: _unflatten_tree(flat) for coll, flat in colls.items()}
+
+
+def _load_state_dict(path: str) -> dict:
+    """torch ``.pth/.pt`` (plain state_dict), Lightning ``.ckpt``
+    (nested under ``state_dict``, ``model.`` prefixes stripped), or the
+    repo's golden ``.npz`` layout (``sd::``-prefixed keys)."""
+    if path.endswith(".npz"):
+        z = np.load(path)
+        return {k[4:]: z[k].astype(np.float32)
+                for k in z.files if k.startswith("sd::")}
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict) and "state_dict" in obj:     # Lightning
+        obj = obj["state_dict"]
+        obj = {(k[len("model."):] if k.startswith("model.") else k): v
+               for k, v in obj.items()}
+    return obj
+
+
+_ARCHS = {
+    "resnet18": (resnet, (2, 2, 2, 2)),
+    "resnet34": (resnet, (3, 4, 6, 3)),
+    "r2plus1d_18": (r2plus1d, (2, 2, 2, 2)),
+    "r3d_18": (r3d, (2, 2, 2, 2)),
+}
+_ARCH_ALIASES = {"resnet": "resnet18", "r2plus1d": "r2plus1d_18",
+                 "r3d": "r3d_18"}
+
+
+def _selfcheck(arch: str, layers: tuple, variables: dict,
+               fixture_path: str | None) -> None:
+    import jax.numpy as jnp
+
+    n_classes = (variables["params"]["fc"]["kernel"].shape[1]
+                 if "fc" in variables["params"] else 0)
+    output = "logits" if n_classes else "features"
+    if arch.startswith("resnet"):
+        from devt_tpu.models.resnet import BasicBlock, ResNet
+
+        model = ResNet(block=BasicBlock, layers=layers,
+                       num_classes=max(n_classes, 1), output=output)
+        x = np.zeros((1, 64, 64, 3), np.float32)
+    elif arch.startswith("r2plus1d"):
+        from devt_tpu.models.r2plus1d import R2Plus1D
+
+        model = R2Plus1D(layers=layers, num_classes=max(n_classes, 1),
+                         output=output)
+        x = np.zeros((1, 4, 32, 32, 3), np.float32)
+    else:
+        from devt_tpu.models.r2plus1d import R3D
+
+        model = R3D(layers=layers, num_classes=max(n_classes, 1),
+                    output=output)
+        x = np.zeros((1, 4, 32, 32, 3), np.float32)
+
+    if fixture_path and fixture_path.endswith(".npz"):
+        z = np.load(fixture_path)
+        if "input" in z.files:                  # golden fixture: NC(T)HW
+            xin = z["input"].astype(np.float32)
+            x = (xin.transpose(0, 2, 3, 1) if xin.ndim == 4
+                 else xin.transpose(0, 2, 3, 4, 1))
+    out = model.apply({c: variables[c] for c in ("params", "batch_stats")
+                       if c in variables},
+                      jnp.asarray(x), train=False)
+    out = np.asarray(out)
+    assert np.isfinite(out).all(), "non-finite forward output"
+    msg = f"selfcheck: forward OK, output shape {out.shape}"
+    if fixture_path and fixture_path.endswith(".npz"):
+        z = np.load(fixture_path)
+        if "output" in z.files:
+            ref = z["output"]
+            rel = np.abs(out - ref) / (np.abs(ref).max() + 1e-8)
+            assert rel.max() < 1e-3, \
+                f"parity FAILED: max rel err {rel.max():.2e} (bound 1e-3)"
+            msg += f", logit parity max rel err {rel.max():.2e} (≤1e-3)"
+    print(msg)
+
+
+def main(argv=None) -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        prog="python -m devt_tpu.utils.torch_port",
+        description="Port a torchvision/Lightning checkpoint file to "
+                    "devt_tpu params (see module docstring runbook).")
+    ap.add_argument("--ckpt", required=True,
+                    help=".pth/.pt state_dict, Lightning .ckpt, or a "
+                         "golden-layout .npz")
+    ap.add_argument("--arch", required=True,
+                    choices=sorted(_ARCHS) + sorted(_ARCH_ALIASES))
+    ap.add_argument("--out", required=True, help="output directory")
+    ap.add_argument("--layers", default=None,
+                    help="per-stage block counts, e.g. 2,2,2,2 "
+                         "(default: the arch's torchvision counts)")
+    ap.add_argument("--no-fc", action="store_true",
+                    help="drop the classifier head (feature extractor)")
+    ap.add_argument("--selfcheck", action="store_true",
+                    help="build the flax model and run one forward; "
+                         "with a golden fixture, assert ≤1e-3 parity")
+    args = ap.parse_args(argv)
+
+    arch = _ARCH_ALIASES.get(args.arch, args.arch)
+    convert, layers = _ARCHS[arch]
+    if args.layers:
+        layers = tuple(int(x) for x in args.layers.split(","))
+    sd = _load_state_dict(args.ckpt)
+    variables = convert(sd, layers=layers, with_fc=not args.no_fc)
+    path = save_variables(variables, args.out)
+    n = sum(int(np.prod(v.shape)) for v in
+            _flatten_tree(variables["params"]).values())
+    print(f"ported {arch} (layers={layers}, {n / 1e6:.1f}M params) "
+          f"-> {path}")
+    if args.selfcheck:
+        _selfcheck(arch, layers, variables, args.ckpt)
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())

@@ -81,3 +81,49 @@ def test_golden_fixture_bytes_are_stable():
     assert sd["layer1.0.conv1.0.0.weight"].shape == (144, 64, 1, 3, 3)
     assert sd["layer1.0.conv1.0.3.weight"].shape == (64, 144, 3, 1, 1)
     assert x.shape == (1, 3, 8, 32, 32)
+
+
+def test_torch_port_cli_runbook(tmp_path, capsys):
+    """Round-4 verdict item 7: the documented CLI path from a checkpoint
+    file to devt_tpu params, driven end-to-end with the committed golden
+    fixture standing in for real zoo bytes — incl. the --selfcheck logit
+    parity gate and the save/load round trip."""
+    from devt_tpu.utils.torch_port import load_variables, main
+
+    rc = main(["--ckpt", os.path.join(FIXTURES, "golden_resnet.npz"),
+               "--arch", "resnet", "--layers", "1,1,1,1",
+               "--out", str(tmp_path / "ported"), "--selfcheck"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "logit parity" in out and "selfcheck: forward OK" in out
+
+    variables = load_variables(str(tmp_path / "ported" / "variables.npz"))
+    sd, x, ref = _load("golden_resnet.npz")
+    direct = torch_port.resnet(sd, layers=(1, 1, 1, 1))
+    model = ResNet(block=BasicBlock, layers=(1, 1, 1, 1),
+                   num_classes=ref.shape[1], output="logits")
+    out_a = model.apply({"params": variables["params"],
+                         "batch_stats": variables["batch_stats"]},
+                        jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+    out_b = model.apply({"params": direct["params"],
+                         "batch_stats": direct["batch_stats"]},
+                        jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+    np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))
+
+
+def test_torch_port_cli_lightning_ckpt(tmp_path):
+    """Lightning .ckpt containers (state_dict nested, model. prefixes)
+    port through the same CLI."""
+    from devt_tpu.utils.torch_port import load_variables, main
+
+    sd, _, _ = _load("golden_resnet.npz")
+    ckpt = {"state_dict": {f"model.{k}": v for k, v in sd.items()},
+            "epoch": 32, "global_step": 24947}
+    p = tmp_path / "lightning.ckpt"
+    torch.save(ckpt, str(p))
+    rc = main(["--ckpt", str(p), "--arch", "resnet18",
+               "--layers", "1,1,1,1", "--out", str(tmp_path / "out")])
+    assert rc == 0
+    v = load_variables(str(tmp_path / "out" / "variables.npz"))
+    assert "params" in v and "batch_stats" in v
+    assert v["params"]["stem"]["conv"]["kernel"].shape[-2:] == (3, 64)
