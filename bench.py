@@ -388,9 +388,11 @@ def bench_int8_serving_ptn(batch_size: int = 256) -> dict:
     # (2048 -> 6144); "n2048" = out_proj + both FFN linears (2048 ->
     # 2048).  Every heavy Dense in PTN lives in the torch encoders, so
     # bf16-vs-int8(all) bounds the whole quantizable surface.
+    # "int8" = the shipping default (Predictor's n >= 2k policy, set BY
+    # this ablation); "int8_all_sites" = r4's quantize-everything config
     variants = (("bf16", False, None),
                 ("int8", True, None),
-                ("int8_inproj_only", True, lambda k, n: n > 2048),
+                ("int8_all_sites", True, lambda k, n: True),
                 ("int8_n2048_only", True, lambda k, n: n <= 2048))
     rates, scores = {}, {}
     for tag, quant, pred_fn in variants:
@@ -416,7 +418,7 @@ def bench_int8_serving_ptn(batch_size: int = 256) -> dict:
     # the whole-model win implies the Dense sites occupy fraction
     # f = (1 - t_int8/t_bf16) / (1 - 1/s) of the bf16 step; the ceiling
     # at the MXU's full 2x int8 rate is 1 / (1 - f + f/2).
-    t_ratio = rates["bf16"] / rates["int8"]          # t_int8 / t_bf16
+    t_ratio = rates["bf16"] / rates["int8_all_sites"]   # t_int8 / t_bf16
     s_matmul = 1.48
     f_dense = max(0.0, min(1.0, (1.0 - t_ratio) / (1.0 - 1.0 / s_matmul)))
     ceiling = 1.0 / (1.0 - f_dense + f_dense / 2.0)
@@ -425,8 +427,8 @@ def bench_int8_serving_ptn(batch_size: int = 256) -> dict:
             "detail": {"bf16_samples_per_sec": round(rates["bf16"], 1),
                        "speedup_vs_bf16": round(
                            rates["int8"] / rates["bf16"], 3),
-                       "speedup_inproj_only": round(
-                           rates["int8_inproj_only"] / rates["bf16"], 3),
+                       "speedup_all_sites": round(
+                           rates["int8_all_sites"] / rates["bf16"], 3),
                        "speedup_n2048_only": round(
                            rates["int8_n2048_only"] / rates["bf16"], 3),
                        "dense_site_time_fraction_est": round(f_dense, 3),
@@ -434,11 +436,13 @@ def bench_int8_serving_ptn(batch_size: int = 256) -> dict:
                            ceiling, 3),
                        "label_agreement_at_0.3": round(agree, 4),
                        "max_score_err": round(max_err, 4)},
-            "note": "PTN (2048-wide torch encoders) via the fused Pallas "
-                    "int8 matmul on every Dense site under quant_scope; "
-                    "per-group ablation via quant_scope(site_pred) — "
-                    "inproj = qkv 2048->6144, n2048 = out_proj+FFN; "
-                    "f_dense assumes the kernel's 1.48x per-matmul win"}
+            "note": "PTN (2048-wide torch encoders); 'int8' is the "
+                    "Predictor default site policy n>=2k (set by this "
+                    "ablation: the square 2048->2048 sites are measured "
+                    "int8 losers, the 2048->6144 qkv projection wins); "
+                    "ablation groups via quant_scope(site_pred); "
+                    "f_dense assumes the kernel's 1.48x per-matmul win "
+                    "over the all-sites variant"}
 
 
 def bench_two_modality_fusion(batch_size: int = 32) -> dict:

@@ -55,9 +55,17 @@ class Predictor:
         shape for wide models like PTN).
 
         ``quant_site_pred``: optional ``(k, n) -> bool`` Dense-site
-        filter (ops/attention.quant_scope) — the per-site Amdahl
-        accounting hook (bench_int8_serving_ptn); None serves every
-        eligible site int8."""
+        filter (ops/attention.quant_scope).  None applies the measured
+        default policy ``n >= 2k`` — quantize a Dense site only when its
+        output is at least twice its input width.  The r5 per-site chip
+        ablation (bench_int8_serving_ptn) found the square 2048->2048
+        sites are int8 LOSERS (0.89x bf16 whole-model: the O(m*k) row
+        quantize doesn't amortize against enough MXU columns) while the
+        2048->6144 qkv projection wins (1.12x — at the family's Amdahl
+        ceiling, dense-site time fraction ~0.19).  Pass an explicit
+        predicate (e.g. ``lambda k, n: True``) to override."""
+        if quantize and quant_site_pred is None:
+            quant_site_pred = lambda k, n: n >= 2 * k
         self.config = config
         self.model = build_model(config)
         self.variables = dict(variables)

@@ -344,3 +344,31 @@ def test_quant_block_honours_pinned_attention_impl(monkeypatch):
         out = block.apply(variables, x, deterministic=True)
     assert seen["impl"] == "xla"
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_site_pred_freezes_rejected_sites():
+    """quant_scope(site_pred) (round-5 Amdahl accounting hook): sites
+    the predicate rejects run the EXACT bf16/f32 contraction, accepted
+    sites quantize.  The Predictor's default policy n >= 2k was set by
+    the chip ablation (square sites are measured int8 losers)."""
+    import numpy as np
+
+    from devt_tpu.ops.attention import quant_scope
+    from devt_tpu.ops.quant import int8_dot_general
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((4, 32)), jnp.float32)
+    w_sq = jnp.asarray(rng.standard_normal((32, 32)), jnp.float32)
+    w_wide = jnp.asarray(rng.standard_normal((32, 64)), jnp.float32)
+    dn = (((1,), (0,)), ((), ()))
+
+    policy = lambda k, n: n >= 2 * k            # the Predictor default
+    with quant_scope(policy):
+        out_sq = int8_dot_general(x, w_sq, dn)
+        out_wide = int8_dot_general(x, w_wide, dn)
+    # rejected square site: bit-identical to the plain contraction
+    np.testing.assert_array_equal(np.asarray(out_sq),
+                                  np.asarray(x @ w_sq))
+    # accepted wide site: quantization rounding present but small
+    err = np.abs(np.asarray(out_wide) - np.asarray(x @ w_wide))
+    assert 0 < err.max() < 0.3, err.max()

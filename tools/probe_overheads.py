@@ -15,26 +15,37 @@ NOTES_NEXT_ROUND.md ("Round-5 log" speed-of-light sections).
 
 from __future__ import annotations
 
-import functools
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))          # repo root (script lives in tools/)
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 
+def _sync(out) -> float:
+    """Host readback of ONE scalar — indexing happens on device, so the
+    sync transfers 4 bytes, not the whole result (an np.asarray of an
+    81 MB grad over the ~37 MB/s tunnel poisoned the first probe run
+    by ~200 ms/call)."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(leaf.reshape(-1)[0])
+
+
 def _time(fn, *args, iters: int = 20, windows: int = 3) -> float:
-    """best-of-windows ms per call, synced by host readback."""
-    out = fn(*args)
-    float(np.asarray(jax.tree_util.tree_leaves(out)[0]).reshape(-1)[0])
+    """best-of-windows ms per call, synced by scalar host readback."""
+    _sync(fn(*args))
     best = 1e9
     for _ in range(windows):
         t0 = time.perf_counter()
         for _ in range(iters):
             out = fn(*args)
-        float(np.asarray(jax.tree_util.tree_leaves(out)[0]).reshape(-1)[0])
+        _sync(out)
         best = min(best, (time.perf_counter() - t0) / iters)
     return best * 1e3
 
@@ -182,7 +193,8 @@ def probe_tp(n_chain: int = 50) -> None:
         pspec = jax.tree_util.tree_map(lambda _: P(), params)
         return jax.shard_map(
             lambda hh, pp: glue_block(hh), mesh=mesh,
-            in_specs=(P(), pspec), out_specs=P())(h, params)
+            in_specs=(P(), pspec), out_specs=P(),
+            check_vma=False)(h, params)
 
     def chain(block):
         @jax.jit
