@@ -134,38 +134,89 @@ Image decode_file(const char* path) {
 // Resize (bilinear, half-pixel centers) + center crop + normalize
 // ---------------------------------------------------------------------------
 
-Image resize_bilinear(const Image& src, int nw, int nh) {
+// Windowed separable bilinear: computes only the output window
+// [ox, ox+ow) x [oy, oy+oh) of the logical (nw, nh) resize — the fused
+// paths pass the center-crop window so cropped-away rows/cols are never
+// resized.  Per-pixel arithmetic is IDENTICAL to the naive formulation
+// (h-lerp of u8-promoted floats, then v-lerp, then lround), so outputs
+// are byte-identical to the pre-r5 loop; the restructuring hoists the
+// per-pixel floor/clamp index math into per-column taps computed once,
+// and the horizontal pass runs once per SOURCE row touched (rolling
+// two-row cache) with clamp-free, fixed-stride inner loops the compiler
+// vectorizes.  The r5 decode probe measured the naive loop — not the
+// entropy decode — as the 224-crop wall (463 frames/s/core JPEG;
+// raw MJPEG decode alone ran 2,128).
+Image resize_bilinear_window(const Image& src, int nw, int nh,
+                             int ox, int oy, int ow, int oh) {
   Image dst;
-  dst.w = nw;
-  dst.h = nh;
-  dst.rgb.resize(size_t(nw) * nh * 3);
+  dst.w = ow;
+  dst.h = oh;
+  dst.rgb.resize(size_t(ow) * oh * 3);
   const float sx = float(src.w) / nw, sy = float(src.h) / nh;
-  for (int y = 0; y < nh; ++y) {
-    float fy = (y + 0.5f) * sy - 0.5f;
+  std::vector<int> x0o(ow), x1o(ow);
+  std::vector<float> wx(ow);
+  for (int i = 0; i < ow; ++i) {
+    float fx = (ox + i + 0.5f) * sx - 0.5f;
+    int x0 = std::clamp(int(std::floor(fx)), 0, src.w - 1);
+    int x1 = std::min(x0 + 1, src.w - 1);
+    float w = fx - std::floor(fx);
+    if (fx < 0) w = 0;
+    x0o[i] = x0 * 3;
+    x1o[i] = x1 * 3;
+    wx[i] = w;
+  }
+  std::vector<float> rowa(size_t(ow) * 3), rowb(size_t(ow) * 3);
+  int ya = -1, yb = -1;
+  auto hpass = [&](int ys, float* dr) {
+    const uint8_t* s = src.rgb.data() + size_t(ys) * src.w * 3;
+    for (int i = 0; i < ow; ++i) {
+      const uint8_t* p0 = s + x0o[i];
+      const uint8_t* p1 = s + x1o[i];
+      const float w = wx[i];
+      dr[i * 3 + 0] = p0[0] + (p1[0] - p0[0]) * w;
+      dr[i * 3 + 1] = p0[1] + (p1[1] - p0[1]) * w;
+      dr[i * 3 + 2] = p0[2] + (p1[2] - p0[2]) * w;
+    }
+  };
+  for (int j = 0; j < oh; ++j) {
+    float fy = (oy + j + 0.5f) * sy - 0.5f;
     int y0 = std::clamp(int(std::floor(fy)), 0, src.h - 1);
     int y1 = std::min(y0 + 1, src.h - 1);
     float wy = fy - std::floor(fy);
     if (fy < 0) wy = 0;
-    for (int x = 0; x < nw; ++x) {
-      float fx = (x + 0.5f) * sx - 0.5f;
-      int x0 = std::clamp(int(std::floor(fx)), 0, src.w - 1);
-      int x1 = std::min(x0 + 1, src.w - 1);
-      float wx = fx - std::floor(fx);
-      if (fx < 0) wx = 0;
-      for (int c = 0; c < 3; ++c) {
-        float v00 = src.rgb[(size_t(y0) * src.w + x0) * 3 + c];
-        float v01 = src.rgb[(size_t(y0) * src.w + x1) * 3 + c];
-        float v10 = src.rgb[(size_t(y1) * src.w + x0) * 3 + c];
-        float v11 = src.rgb[(size_t(y1) * src.w + x1) * 3 + c];
-        float top = v00 + (v01 - v00) * wx;
-        float bot = v10 + (v11 - v10) * wx;
-        dst.rgb[(size_t(y) * nw + x) * 3 + c] =
-            uint8_t(std::lround(top + (bot - top) * wy));
-      }
+    float* h0;
+    if (y0 == ya) {
+      h0 = rowa.data();
+    } else if (y0 == yb) {
+      h0 = rowb.data();
+    } else {
+      hpass(y0, rowa.data());
+      ya = y0;
+      h0 = rowa.data();
+    }
+    float* h1;
+    if (y1 == ya) {
+      h1 = rowa.data();
+    } else if (y1 == yb) {
+      h1 = rowb.data();
+    } else {
+      float* tgt = (h0 == rowa.data()) ? rowb.data() : rowa.data();
+      hpass(y1, tgt);
+      (tgt == rowa.data() ? ya : yb) = y1;
+      h1 = tgt;
+    }
+    uint8_t* drow = dst.rgb.data() + size_t(j) * ow * 3;
+    for (int i = 0; i < ow * 3; ++i) {
+      float top = h0[i], bot = h1[i];
+      drow[i] = uint8_t(std::lround(top + (bot - top) * wy));
     }
   }
   dst.ok = true;
   return dst;
+}
+
+Image resize_bilinear(const Image& src, int nw, int nh) {
+  return resize_bilinear_window(src, nw, nh, 0, 0, nw, nh);
 }
 
 // shorter-side resize → center crop → normalize((v/255 - mean) / std)
@@ -180,14 +231,15 @@ int fuse_postprocess(const Image& img, int resize, int crop,
     nh = resize;
     nw = std::max(1, int(std::lround(double(img.w) * resize / img.h)));
   }
-  Image r = resize_bilinear(img, nw, nh);
   // round-half-even center offsets (python round() semantics, which the
-  // PIL/torchvision path uses for (size - crop) / 2.0)
+  // PIL/torchvision path uses for (size - crop) / 2.0); the resize
+  // computes ONLY the crop window
   int left = int(std::nearbyint((nw - crop) / 2.0));
   int top = int(std::nearbyint((nh - crop) / 2.0));
   if (left < 0 || top < 0) return -2;
+  Image r = resize_bilinear_window(img, nw, nh, left, top, crop, crop);
   for (int y = 0; y < crop; ++y) {
-    const uint8_t* srow = r.rgb.data() + (size_t(top + y) * nw + left) * 3;
+    const uint8_t* srow = r.rgb.data() + size_t(y) * crop * 3;
     float* drow = out + size_t(y) * crop * 3;
     for (int x = 0; x < crop * 3; x += 3) {
       drow[x + 0] = (srow[x + 0] / 255.0f - mean[0]) / stddev[0];
@@ -223,12 +275,12 @@ int fuse_postprocess_u8(const Image& img, int resize, int crop,
     nh = resize;
     nw = std::max(1, int(std::lround(double(img.w) * resize / img.h)));
   }
-  Image r = resize_bilinear(img, nw, nh);
   int left = int(std::nearbyint((nw - crop) / 2.0));
   int top = int(std::nearbyint((nh - crop) / 2.0));
   if (left < 0 || top < 0) return -2;
+  Image r = resize_bilinear_window(img, nw, nh, left, top, crop, crop);
   for (int y = 0; y < crop; ++y) {
-    const uint8_t* srow = r.rgb.data() + (size_t(top + y) * nw + left) * 3;
+    const uint8_t* srow = r.rgb.data() + size_t(y) * crop * 3;
     std::memcpy(out + size_t(y) * crop * 3, srow, size_t(crop) * 3);
   }
   return 0;
