@@ -345,19 +345,65 @@ class MoEViTBlock(nn.Module):
     attention_impl: str = "auto"
     dtype: jnp.dtype = jnp.float32
 
+    def _fused_half_eligible(self, x, deterministic) -> bool:
+        """Same gates as ViTBlock._fused_eligible minus dropout support
+        (the fused attention half has none — training dropout keeps the
+        unfused path)."""
+        import jax as _jax
+
+        if self.attention_impl == "xla":
+            return False
+        if self.dropout > 0.0 and not deterministic:
+            return False
+        if self.heads * self.dim_head != self.dim:
+            return False
+        if self.heads == 1 and self.dim_head == self.dim:
+            return False
+        from devt_tpu.ops.flash_attention import fits_single_block
+        if not fits_single_block(x.shape[1]) or x.shape[1] % 16:
+            return False
+        if self.attention_impl == "fused_interpret":
+            return True
+        from devt_tpu.ops.attention import _auto_pallas_ok
+        return _auto_pallas_ok()
+
     @nn.compact
     def __call__(self, x, deterministic: bool = True,
                  kv_len: int | None = None):
         from devt_tpu.parallel.moe import moe_ffn_dense
 
-        h = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype,
-                         name="attn_norm")(x)
-        h = ViTAttention(self.dim, heads=self.heads, dim_head=self.dim_head,
-                         dropout=self.dropout,
-                         attention_impl=self.attention_impl,
-                         dtype=self.dtype, name="attn")(
-                             h, deterministic, kv_len)
-        x = x + h
+        if self._fused_half_eligible(x, deterministic):
+            # x + attn(LN1(x)) as ONE kernel per pass
+            # (ops/fused_block.fused_attn_half) — the r5 probes priced
+            # the unfused glue around the attention kernel as the
+            # largest share of the MoE path's overhead vs the dense
+            # fused step; the param declarations keep the tree
+            # identical to the unfused branch below
+            from devt_tpu.ops.fused_block import fused_attn_half
+
+            g1, b1 = _LNParams(self.dim, name="attn_norm")()
+            wqkv, wo, bo = _AttnParams(self.dim,
+                                       self.heads * self.dim_head,
+                                       name="attn")()
+            hp = {"g1": g1.reshape(1, -1), "b1": b1.reshape(1, -1),
+                  "wqkv": wqkv.astype(self.dtype),
+                  "wo": wo.astype(self.dtype),
+                  "bo": bo.reshape(1, -1)}
+            x = fused_attn_half(
+                x.astype(self.dtype), hp, self.heads,
+                self.dim_head ** -0.5,
+                kv_len if kv_len is not None else x.shape[1],
+                interpret=self.attention_impl == "fused_interpret")
+        else:
+            h = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype,
+                             name="attn_norm")(x)
+            h = ViTAttention(self.dim, heads=self.heads,
+                             dim_head=self.dim_head,
+                             dropout=self.dropout,
+                             attention_impl=self.attention_impl,
+                             dtype=self.dtype, name="attn")(
+                                 h, deterministic, kv_len)
+            x = x + h
         h = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="ff_norm")(x)
         e, d, f = self.n_experts, self.dim, self.mlp_dim
         moe_params = {

@@ -535,3 +535,182 @@ def reference_vit_block(x, params, heads, scale, kv_len):
     y = u + h @ params["w2"].astype(jnp.float32) \
         + params["bb2"].astype(jnp.float32)
     return y.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Fused ATTENTION HALF: x + attn(LN1(x)) as one kernel per pass.
+#
+# For blocks whose FFN is not fusable into the same kernel — the MoE
+# block (models/layers.MoEViTBlock), whose FFN is the routed switch MoE
+# (parallel/moe.py) — the attention half still deserves the whole-block
+# treatment: the round-5 overhead probes measured the unfused glue
+# (separate LN/matmul HLOs around the attention kernel) at ~0.58
+# ms/block fwd on the flagship shape, the single biggest share of the
+# MoE path's overhead vs the dense fused step.  Math and residual
+# layout are the first half of _fwd_kernel/_bwd_kernel verbatim
+# (lse + mu1/rstd1 lanes); no dropout (the MoE surface runs
+# dropout=0 — callers gate).
+# ---------------------------------------------------------------------------
+
+
+def _attn_half_fwd_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, wo_ref, bo_ref,
+                          u_ref, res_ref,
+                          *, heads: int, d: int, scale: float, kv_len: int):
+    dtype = x_ref.dtype
+    x = x_ref[...].astype(jnp.float32)                       # (G, S, D)
+    a, _, mu1, rstd1 = _ln(x, g1_ref[0].astype(jnp.float32),
+                           b1_ref[0].astype(jnp.float32))
+    qkv = jax.lax.dot_general(
+        a.astype(dtype), wqkv_ref[...].astype(dtype),
+        (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    att, lse = _mha_fwd(qkv, heads, d, scale, kv_len, dtype)
+    oproj = jax.lax.dot_general(
+        att.astype(dtype), wo_ref[...].astype(dtype),
+        (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32) \
+        + bo_ref[0].astype(jnp.float32)
+    u = x + oproj
+    u_ref[...] = u.astype(u_ref.dtype)
+    res = jnp.concatenate([lse, mu1, rstd1], axis=-1)
+    res_ref[...] = jnp.pad(res, ((0, 0), (0, 0),
+                                 (0, res_ref.shape[-1] - heads - 2)))
+
+
+def _attn_half_bwd_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, wo_ref, bo_ref,
+                          res_ref, du_ref,
+                          dx_ref, dg1_ref, db1_ref, dwqkv_ref, dwo_ref,
+                          dbo_ref,
+                          *, heads: int, d: int, scale: float, kv_len: int):
+    step = pl.program_id(0)
+    dtype = x_ref.dtype
+
+    @pl.when(step == 0)
+    def _init():
+        for ref in (dg1_ref, db1_ref, dwqkv_ref, dwo_ref, dbo_ref):
+            ref[...] = jnp.zeros_like(ref)
+
+    x = x_ref[...].astype(jnp.float32)
+    du = du_ref[...].astype(jnp.float32)
+    res = res_ref[...]
+    lse = res[:, :, :heads]
+    mu1, rstd1 = res[:, :, heads:heads + 1], res[:, :, heads + 1:heads + 2]
+    g1 = g1_ref[0].astype(jnp.float32)
+
+    xhat1 = (x - mu1) * rstd1
+    a = xhat1 * g1 + b1_ref[0].astype(jnp.float32)
+    qkv = jax.lax.dot_general(
+        a.astype(dtype), wqkv_ref[...].astype(dtype),
+        (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    def flat(t):
+        return t.reshape(-1, t.shape[-1])
+
+    datt = jax.lax.dot_general(
+        du.astype(dtype), wo_ref[...].astype(dtype),
+        (((2,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    att, dqkv = _mha_fwd_bwd(qkv, lse, datt, heads, d, scale, kv_len, dtype)
+    dwo_ref[...] += jax.lax.dot_general(
+        flat(att).astype(dtype), flat(du).astype(dtype),
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dbo_ref[...] += jnp.sum(du, axis=(0, 1))[None, :]
+
+    da = jax.lax.dot_general(
+        dqkv.astype(dtype), wqkv_ref[...].astype(dtype),
+        (((2,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    dwqkv_ref[...] += jax.lax.dot_general(
+        flat(a).astype(dtype), flat(dqkv).astype(dtype),
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dg1_ref[...] += jnp.sum(da * xhat1, axis=(0, 1))[None, :]
+    db1_ref[...] += jnp.sum(da, axis=(0, 1))[None, :]
+    dx = du + _ln_bwd(da * g1, xhat1, rstd1)
+    dx_ref[...] = dx.astype(dx_ref.dtype)
+
+
+_HALF_NAMES = ("g1", "b1", "wqkv", "wo", "bo")
+
+
+def _half_tuple(params):
+    return tuple(params[k] for k in _HALF_NAMES)
+
+
+def _attn_half_fwd_call(x, params, *, heads, scale, kv_len, interpret):
+    bsz, s, dim = x.shape
+    d = dim // heads
+    g = _group(bsz, s, dim, dim, bwd=False)
+    res_lanes = _round_up(heads + 2, 8)
+    kernel = functools.partial(_attn_half_fwd_kernel, heads=heads, d=d,
+                               scale=scale, kv_len=kv_len)
+    pt = _half_tuple(params)
+    return pl.pallas_call(
+        kernel,
+        grid=(bsz // g,),
+        in_specs=[_row_spec(g, s, dim)] + [_param_spec(p.shape)
+                                           for p in pt],
+        out_specs=(_row_spec(g, s, dim), _row_spec(g, s, res_lanes)),
+        out_shape=(jax.ShapeDtypeStruct(x.shape, x.dtype),
+                   jax.ShapeDtypeStruct((bsz, s, res_lanes), jnp.float32)),
+        compiler_params=None if interpret else _VMEM_LIMIT,
+        interpret=interpret,
+    )(x, *pt)
+
+
+def _attn_half_bwd_call(x, params, res, du, *, heads, scale, kv_len,
+                        interpret):
+    bsz, s, dim = x.shape
+    d = dim // heads
+    g = _group(bsz, s, dim, dim, bwd=True)
+    kernel = functools.partial(_attn_half_bwd_kernel, heads=heads, d=d,
+                               scale=scale, kv_len=kv_len)
+    pt = _half_tuple(params)
+    grad_shapes = tuple(
+        jax.ShapeDtypeStruct(p.shape if p.ndim == 2 else (1, p.shape[-1]),
+                             jnp.float32) for p in pt)
+    out = pl.pallas_call(
+        kernel,
+        grid=(bsz // g,),
+        in_specs=[_row_spec(g, s, dim)]
+        + [_param_spec(p.shape) for p in pt]
+        + [_row_spec(g, s, res.shape[-1]), _row_spec(g, s, dim)],
+        out_specs=(_row_spec(g, s, dim),)
+        + tuple(_param_spec(sh.shape) for sh in grad_shapes),
+        out_shape=(jax.ShapeDtypeStruct(x.shape, x.dtype),) + grad_shapes,
+        compiler_params=None if interpret else _VMEM_LIMIT,
+        interpret=interpret,
+    )(x, *pt, res, du)
+    dx, *dparams = out
+    grads = {}
+    for name, p, dp in zip(_HALF_NAMES, pt, dparams):
+        dp = dp if p.ndim == 2 else dp[0]
+        grads[name] = dp.astype(p.dtype)
+    return dx, grads
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _attn_half(x, params, heads, scale, kv_len, interpret):
+    u, _ = _attn_half_fwd_call(x, params, heads=heads, scale=scale,
+                               kv_len=kv_len, interpret=interpret)
+    return u
+
+
+def _attn_half_fwd(x, params, heads, scale, kv_len, interpret):
+    u, res = _attn_half_fwd_call(x, params, heads=heads, scale=scale,
+                                 kv_len=kv_len, interpret=interpret)
+    return u, (x, params, res)
+
+
+def _attn_half_bwd(heads, scale, kv_len, interpret, resid, du):
+    x, params, res = resid
+    dx, grads = _attn_half_bwd_call(x, params, res, du, heads=heads,
+                                    scale=scale, kv_len=kv_len,
+                                    interpret=interpret)
+    return dx, grads
+
+
+_attn_half.defvjp(_attn_half_fwd, _attn_half_bwd)
+
+
+def fused_attn_half(x, params, heads, scale, kv_len, interpret=False):
+    """``x + attn(LN1(x))`` as ONE Pallas kernel per pass.  x (B, S, D);
+    params dict with g1/b1/wqkv/wo/bo (the attention half of the
+    fused-block layout).  Single-kv-block sequences, no dropout —
+    callers gate (models/layers.MoEViTBlock)."""
+    return _attn_half(x, params, heads, scale, kv_len, interpret)

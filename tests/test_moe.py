@@ -576,3 +576,51 @@ def test_main_entry_vivit_moe_ep(tmp_path, monkeypatch):
     ])
     assert "test/loss" in results and np.isfinite(results["test/loss"])
     assert calls and all(n == 8 for n in calls)
+
+
+def test_moe_block_fused_attn_half_parity():
+    """Round-5: MoEViTBlock's attention half runs as ONE Pallas kernel
+    per pass (ops/fused_block.fused_attn_half) when eligible — fwd and
+    grads must match the unfused xla branch, with the SAME param tree
+    (checkpoints interchangeable between branches)."""
+    from devt_tpu.models.layers import MoEViTBlock
+
+    kw = dict(dim=32, heads=2, dim_head=16, mlp_dim=64, n_experts=4,
+              capacity_factor=2.0, dropout=0.0)
+    blk_x = MoEViTBlock(attention_impl="xla", **kw)
+    blk_f = MoEViTBlock(attention_impl="fused_interpret", **kw)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 32)) * 0.5
+    v = blk_x.init({"params": jax.random.PRNGKey(1)}, x)
+    # identical tree either branch
+    v2 = blk_f.init({"params": jax.random.PRNGKey(1)}, x)
+    assert jax.tree_util.tree_structure(v["params"]) \
+        == jax.tree_util.tree_structure(v2["params"])
+
+    def run(blk, params, xin):
+        y, state = blk.apply({"params": params}, xin, True, 13,
+                             mutable=["losses"])
+        aux = jax.tree_util.tree_leaves(state["losses"])
+        return y, sum(jnp.sum(a) for a in aux)
+
+    y_x, aux_x = run(blk_x, v["params"], x)
+    y_f, aux_f = run(blk_f, v["params"], x)
+    np.testing.assert_allclose(np.asarray(y_f)[:, :13],
+                               np.asarray(y_x)[:, :13],
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(float(aux_f), float(aux_x), rtol=1e-5)
+
+    def loss(blk):
+        def fn(params):
+            y, aux = run(blk, params, x)
+            return jnp.sum(y[:, :13].astype(jnp.float32) ** 2) + 0.01 * aux
+        return fn
+
+    g_x = jax.grad(loss(blk_x))(v["params"])
+    g_f = jax.grad(loss(blk_f))(v["params"])
+    flat_x = jax.tree_util.tree_leaves_with_path(g_x)
+    flat_f = dict(jax.tree_util.tree_leaves_with_path(g_f))
+    for path, a in flat_x:
+        np.testing.assert_allclose(
+            np.asarray(flat_f[tuple(path)]), np.asarray(a),
+            atol=5e-4, rtol=5e-3,
+            err_msg=jax.tree_util.keystr(path))
