@@ -80,13 +80,19 @@ def check_docs_cite_live_rows() -> list:
                       "pipeline_", "p50_", "single_clip_", "pyramid_",
                       "two_modality_", "dropout", "adafactor_",
                       "decode_only_")
+    # bench rows follow a naming convention; API identifiers that share
+    # a prefix (tp_shard_block_params, moe_aux_weight, …) must not flag
+    known_suffixes = ("_train", "_b32", "_b256", "_sp1", "_mp1", "_fwd",
+                      "_host", "_logits", "_jpeg", "_png", "_mjpeg",
+                      "_tokens")
     for doc in ("SCALING.md", "PARITY.md", "README.md"):
         path = os.path.join(ROOT, doc)
         if not os.path.exists(path):
             continue
         text = open(path).read()
         for tok in set(pat.findall(text)):
-            if tok.startswith(known_prefixes) and tok not in have \
+            if tok.startswith(known_prefixes) \
+                    and tok.endswith(known_suffixes) and tok not in have \
                     and not any(tok.startswith(h + "_") or h.startswith(tok)
                                 for h in have):
                 fails.append(f"FAIL {doc} cites bench row {tok!r} absent "
